@@ -1,0 +1,118 @@
+"""Canonicalization: type normalization + coreference rewrite (M4).
+
+Operators A1/A2/A3, J4/J6 and the connected-components closure
+(SURVEY.md §2.5-2.6).  All dictionary-shaped joins are explicit
+``broadcast()`` hash joins — the rewrite maps are entity-vocabulary-sized,
+never corpus-sized, so the mention table is never shuffled here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kartograph_spark import rules
+from kartograph_spark.components import canonical_map
+from kartograph_spark.linking import link_pairs, same_name_pairs
+
+
+def build_type_normalization(mentions: DataFrame) -> DataFrame:
+    """Observed-type histogram -> (entity_type, canonical_type) map.
+
+    A3 aggregation (agent_deduplicator.py:273-285); the distinct-type set
+    is tiny even at 10^12 turns, so the deterministic rule
+    (rules.build_type_norm_map) runs on collected counts and the result is
+    broadcast back (J6).
+    """
+    counts = mentions.groupBy("entity_type").agg(F.count(F.lit(1)).alias("n"))
+    pdf = counts.toPandas()
+    norm = rules.build_type_norm_map(pdf) if len(pdf) else {}
+    spark = mentions.sparkSession
+    if not norm:
+        return spark.createDataFrame([], "entity_type string, canonical_type string")
+    return spark.createDataFrame(
+        list(norm.items()), "entity_type string, canonical_type string"
+    )
+
+
+def apply_type_normalization(mentions: DataFrame, norm: DataFrame) -> DataFrame:
+    """Rewrite entity_type and the URN type segment (J6,
+    agent_deduplicator.py:322: prefix rewrite keeps the identifier)."""
+    out = mentions.join(F.broadcast(norm), "entity_type", "left")
+    new_type = F.coalesce(F.col("canonical_type"), F.col("entity_type"))
+    new_urn = F.when(
+        F.col("canonical_type").isNotNull(),
+        F.concat(
+            F.lit("urn:"),
+            F.col("canonical_type"),
+            F.lit(":"),
+            F.regexp_replace(F.col("urn"), r"^urn:[^:]*:", ""),
+        ),
+    ).otherwise(F.col("urn"))
+    return out.withColumn("entity_type", new_type).withColumn(
+        "urn", new_urn
+    ).drop("canonical_type")
+
+
+def coreference_pairs(
+    mentions: DataFrame,
+    alias_dict: DataFrame,
+    confidence_threshold: float = 0.85,
+) -> DataFrame:
+    """Union of dictionary-hit pairs (confidence 1.0) and same-blocking-key
+    pairs (0.9), gated at the reference's default agent similarity
+    threshold 0.85 (config.py:98-103; gate agent_deduplicator.py:347-355)."""
+    pairs = link_pairs(mentions, alias_dict).unionByName(
+        same_name_pairs(mentions)
+    )
+    return pairs.filter(F.col("confidence") >= confidence_threshold).select(
+        "src", "dst"
+    )
+
+
+def canonicalize_mentions(
+    mentions: DataFrame,
+    alias_dict: DataFrame,
+    confidence_threshold: float = 0.85,
+) -> tuple[DataFrame, DataFrame]:
+    """Full canonicalization: type norm -> coref pairs -> CC -> rewrite.
+
+    Returns (canonical mentions, canonical_map).  After the URN rewrite the
+    canonical entity inherits the dictionary's display name/type where a
+    dictionary canonical won (J4 coalesce,
+    agent_deduplicator.py:344-378)."""
+    norm = build_type_normalization(mentions)
+    typed = apply_type_normalization(mentions, norm)
+
+    pairs = coreference_pairs(typed, alias_dict, confidence_threshold)
+    preferred = alias_dict.select(
+        F.col("canonical_urn").alias("urn")
+    ).distinct()
+    cmap = canonical_map(pairs, preferred=preferred)
+
+    rewritten = (
+        typed.withColumnRenamed("urn", "member_urn")
+        .join(F.broadcast(cmap), "member_urn", "left")
+        .withColumn("urn", F.coalesce(F.col("canonical_urn"), F.col("member_urn")))
+        .drop("member_urn", "canonical_urn")
+    )
+
+    # Dictionary metadata wins for canonical entities: overwrite
+    # entity_type/name where urn is a dictionary canonical.
+    dict_meta = (
+        alias_dict.groupBy("canonical_urn")
+        .agg(
+            F.min("entity_type").alias("_dict_type"),
+            F.min("canonical_name").alias("_dict_name"),
+        )
+        .withColumnRenamed("canonical_urn", "urn")
+    )
+    final = (
+        rewritten.join(F.broadcast(dict_meta), "urn", "left")
+        .withColumn(
+            "entity_type", F.coalesce(F.col("_dict_type"), F.col("entity_type"))
+        )
+        .withColumn("name", F.coalesce(F.col("_dict_name"), F.col("name")))
+        .drop("_dict_type", "_dict_name")
+    )
+    return final, cmap

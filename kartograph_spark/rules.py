@@ -1,0 +1,236 @@
+"""Deterministic extraction rule set — the single source of truth.
+
+Both the Spark pipeline (pandas/Arrow UDFs) and the pure-pandas oracle
+import THIS module, so rule parity is by construction; correctness vs the
+reference is pinned separately by unit tests transcribed from the
+reference's own test cases.
+
+Reference semantics captured here:
+
+- E1 URN-mention regex + per-turn dedupe-keep-first + displayName
+  normalization: /root/reference/app/server/services/EntityExtractor.ts:18-49
+- E4 pattern classes (emails -> EmailAddress, URLs -> CodeRepository,
+  slack channels -> SlackChannel):
+  /root/reference/extraction/kg_extractor/prompts/templates/entity_extraction.yaml:77-81
+- Free-text verb patterns ("uses X", "deployed via X", "maintained by Y
+  team", "written in Z"), HIGH-confidence tier only:
+  /root/reference/extraction/docs/PROCESS.md:2123-2199
+- Predicate-name cleaning: /root/reference/extraction/load_dgraph.py:357-382
+- Literal formatting + sanitization: /root/reference/extraction/load_dgraph.py:384-417
+- URN percent-encoding keeping ':': /root/reference/extraction/load_dgraph.py:351-355
+- URN / type-name validity: /root/reference/extraction/kg_extractor/models.py:41-69
+
+All functions are vectorized over ``pandas.Series`` (no per-row Python in
+the hot path, per input_hint).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+# --------------------------------------------------------------------------
+# Pattern taxonomy
+# --------------------------------------------------------------------------
+
+# E1 — exact reference pattern (EntityExtractor.ts:18)
+URN_MENTION_RE = r"<urn:([^:]+):([^>]+)>"
+
+# E4 pattern classes (entity_extraction.yaml:77-81)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s<>\"')]*[^\s<>\"').,;:!?]"
+SLACK_RE = r"#([a-z0-9][a-z0-9_-]{1,})"
+
+# Free-text verb patterns (PROCESS.md:2123-2199, HIGH-confidence tier).
+# Each: (kind, regex with one capture group, predicate, entity type)
+VERB_PATTERNS: list[tuple[str, str, str, str]] = [
+    ("uses", r"\buses ([A-Z][A-Za-z0-9_+.-]*)", "usesTool", "Tool"),
+    ("deployed_via", r"\bdeployed via ([A-Z][A-Za-z0-9_+.-]*)", "deployedVia", "Tool"),
+    ("backed_by", r"\bbacked by ([A-Z][A-Za-z0-9_+.-]*)", "usesDatabase", "Database"),
+    (
+        "maintained_by",
+        r"\bmaintained by (?:the )?([A-Z][A-Za-z0-9 _-]*?) team",
+        "maintainedBy",
+        "Team",
+    ),
+    (
+        "written_in",
+        r"\bwritten in ([A-Z][A-Za-z0-9+#]*)",
+        "writtenIn",
+        "ProgrammingLanguage",
+    ),
+]
+
+# Validity rules (models.py:41-69)
+URN_VALID_RE = r"^urn:[A-Z][A-Za-z0-9_]*:.+$"
+TYPE_VALID_RE = r"^[A-Z][A-Za-z0-9_]*$"
+
+MENTIONS_PRED = "mentions"
+DGRAPH_TYPE_PRED = "dgraph.type"
+
+# Deterministic ordering of mention kinds for tie-breaks at equal char
+# offset (E1 first — it is the reference's own per-turn operator).
+KIND_RANK = {
+    "urn": 0,
+    "email": 1,
+    "url": 2,
+    "slack": 3,
+    "uses": 4,
+    "deployed_via": 5,
+    "backed_by": 6,
+    "maintained_by": 7,
+    "written_in": 8,
+}
+
+# --------------------------------------------------------------------------
+# Vectorized string rules
+# --------------------------------------------------------------------------
+
+
+def display_name(ident: pd.Series) -> pd.Series:
+    """EntityExtractor.ts:38 — '-'/'_' -> space."""
+    return ident.str.replace("-", " ", regex=False).str.replace("_", " ", regex=False)
+
+
+def slugify(name: pd.Series) -> pd.Series:
+    """Surface form -> URN identifier segment: lower, runs of space/_ -> '-'."""
+    return (
+        name.str.strip()
+        .str.lower()
+        .str.replace(r"[\s_]+", "-", regex=True)
+    )
+
+
+def alias_norm(name: pd.Series) -> pd.Series:
+    """Blocking key for entity linking: lower, [-_]+ and whitespace -> single
+    space, trimmed.  The alias dictionary stores the same normalization."""
+    return (
+        name.str.lower()
+        .str.replace(r"[-_\s]+", " ", regex=True)
+        .str.strip()
+    )
+
+
+def clean_predicate(pred: pd.Series) -> pd.Series:
+    """load_dgraph.py:357-382 — strip '@', replace $ : / \\ with '_',
+    guard reserved ``uid`` and ``dgraph.`` namespace."""
+    p = pred.str.lstrip("@")
+    for ch in ("$", ":", "/", "\\"):
+        p = p.str.replace(ch, "_", regex=False)
+    p = p.mask(p == "uid", "_uid")
+    starts_reserved = p.str.startswith("dgraph.")
+    return p.mask(starts_reserved, "_" + p)
+
+
+# Percent-encoding equivalent to urllib.parse.quote(urn, safe=":") for the
+# character set that can appear in our URNs (load_dgraph.py:351-355).  '%'
+# must be first.  Kept as an explicit chain so it stays vectorized and is
+# reproducible in Spark SQL as the same regexp_replace chain.
+_URN_ENCODE_CHAIN: list[tuple[str, str]] = [
+    ("%", "%25"),
+    (" ", "%20"),
+    ('"', "%22"),
+    ("#", "%23"),
+    ("&", "%26"),
+    ("'", "%27"),
+    ("+", "%2B"),
+    ("/", "%2F"),
+    ("<", "%3C"),
+    (">", "%3E"),
+    ("?", "%3F"),
+    ("@", "%40"),
+    ("\\", "%5C"),
+]
+
+
+def encode_urn(urn: pd.Series) -> pd.Series:
+    """Vectorized percent-encode keeping ':' (load_dgraph.py:351-355)."""
+    s = urn
+    for ch, rep in _URN_ENCODE_CHAIN:
+        s = s.str.replace(ch, rep, regex=False)
+    return s
+
+
+def escape_literal(val: pd.Series) -> pd.Series:
+    """String-literal escaping: backslash, double-quote, newline
+    (load_dgraph.py:401-407)."""
+    return (
+        val.str.replace("\\", "\\\\", regex=False)
+        .str.replace('"', '\\"', regex=False)
+        .str.replace("\n", "\\n", regex=False)
+    )
+
+
+def literal_is_dropped(escaped: pd.Series) -> pd.Series:
+    """load_dgraph.py:408-417 — drop strings containing braces/brackets or
+    exactly 'None' (serialized objects / null artifacts)."""
+    return (
+        escaped.str.contains(r"[{}\[\]]", regex=True, na=True)
+        | (escaped == "None")
+    )
+
+
+def normalize_type_stem(type_name: pd.Series) -> pd.Series:
+    """Stem used to group type-case/plural variants
+    (agent_deduplicator.py:273-285 analog): lowercase; drop one trailing
+    's' when the name is >3 chars and not ending in 'ss'."""
+    low = type_name.str.lower()
+    plural = (
+        (low.str.len() > 3)
+        & low.str.endswith("s")
+        & ~low.str.endswith("ss")
+    )
+    return low.where(~plural, low.str.slice(0, -1))
+
+
+def pascal_fallback(stem: pd.Series) -> pd.Series:
+    """Fallback canonical type when no observed variant is valid PascalCase:
+    capitalize first letter of the stem."""
+    return stem.str.slice(0, 1).str.upper() + stem.str.slice(1)
+
+
+def _strip_plural(t: str) -> str:
+    low = t.lower()
+    if len(low) > 3 and low.endswith("s") and not low.endswith("ss"):
+        return t[:-1]
+    return t
+
+
+def build_type_norm_map(type_counts: pd.DataFrame) -> dict[str, str]:
+    """Deterministic type-normalization map (operator A3 + J6).
+
+    Reference behavior (LLM-driven, agent_deduplicator.py:273-335) replaced
+    by a fixed rule: group observed types by stem (lowercase, plural
+    stripped); the canonical form is the plural-stripped variant that
+
+      1. matches the PascalCase validity rule (models.py:56-69), then
+      2. has the highest observed occurrence count, then
+      3. is lexicographically smallest;
+
+    if no variant is valid PascalCase, capitalize the first letter of the
+    lexicographically-smallest candidate.  Driver-side: the distinct-type
+    set is tiny (hundreds) even at 10^12 turns, so this map is built on
+    collected counts and broadcast back (SURVEY.md §2.6).
+
+    ``type_counts`` columns: entity_type (str), n (int).
+    Returns {observed_type -> canonical_type}, identity entries omitted.
+    """
+    import re
+
+    df = type_counts.copy()
+    df["stem"] = normalize_type_stem(df["entity_type"])
+    out: dict[str, str] = {}
+    valid = re.compile(TYPE_VALID_RE)
+    for stem, grp in df.groupby("stem"):
+        cands: dict[str, int] = {}
+        for t, n in zip(grp["entity_type"], grp["n"]):
+            c = _strip_plural(t)
+            cands[c] = cands.get(c, 0) + int(n)
+        valid_c = {c: n for c, n in cands.items() if valid.match(c)}
+        pool = valid_c or cands
+        canonical = sorted(pool.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        if not valid.match(canonical):
+            canonical = canonical[:1].upper() + canonical[1:]
+        for t in grp["entity_type"]:
+            if t != canonical:
+                out[t] = canonical
+    return out

@@ -1,0 +1,240 @@
+"""Deterministic synthetic transcript corpus + alias dictionary (FIXTURES F1/F2).
+
+Pure function of (seed, scale): both the Spark pipeline and the pandas
+oracle read the same parquet files, so inputs are byte-identical.  The
+generator plants every extractable class from the rule taxonomy
+(kartograph_spark.rules) plus the edge cases the reference's own tests
+cover (EntityExtractor.test.ts malformed URNs, hyphen/underscore/dotted
+ids, duplicate URNs in one turn), alias variants for linking, type-case
+variants for normalization, and a hot entity (~30% of verb mentions) for
+skew handling.
+
+Scale knobs follow FIXTURES F5:
+  small  (n_conv=200,    ~5k turns)    — pytest correctness vs oracle
+  medium (n_conv=5000,   ~150k turns)  — bench + skew validation
+  bench  (n_conv=50000,  ~1.5M turns)  — local[8] vs local[32] scaling runs
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+SEED = 42
+
+TOOLS = [
+    "Prometheus", "Grafana", "ArgoCD", "Vault", "Redis",
+    "Kafka", "Spark", "Airflow", "Jenkins", "Istio",
+    "Kubernetes",  # hot entity — oversampled below
+]
+LANGS = ["Go", "Python", "Java", "Rust", "TypeScript"]
+TEAMS = ["Platform", "SRE", "Data-Eng", "Security"]
+DBS = ["PostgreSQL", "MongoDB", "Cassandra"]
+
+# E1 URN pool: includes hyphen/underscore/dotted/numeric ids and
+# type-case/plural variants of the same logical entity (canonicalization
+# fixtures) — EntityExtractor.test.ts cases.
+URN_POOL = [
+    "urn:Application:payment-service",
+    "urn:Application:api-gateway",
+    "urn:Application:auth-service",
+    "urn:Application:user-service",
+    "urn:Namespace:kube_system",
+    "urn:Route:api_v2_endpoint",
+    "urn:Application:my-service_v2",
+    "urn:Service:api.v2",
+    "urn:Service:node-42",
+    "urn:Service:payment-api",
+    "urn:service:payment-api",       # lowercase type variant
+    "urn:Services:payment-api",      # plural type variant
+    "urn:Team:platform",
+    "urn:Database:postgresql",
+]
+
+EMAILS = [
+    "alice@example.com", "Bob.Smith@Example.COM", "sre-team@company.io",
+    "oncall+page@ops.example.org",
+]
+URLS = [
+    "https://github.com/org/payment-api",
+    "https://github.com/org/infra-tools",
+    "http://internal.example.com/runbooks/db",
+]
+SLACKS = ["#incident-response", "#platform_eng", "#data-eng"]
+
+MALFORMED = ["<urn:missing>", "<urn::x>", "<urn:>", "<urn:Type>"]
+
+
+def _build_text_pool(rng: np.random.Generator, n: int = 3000) -> list[str]:
+    """Pool of deterministic turn texts covering all pattern classes."""
+    pool: list[str] = []
+    add = pool.append
+
+    # Handwritten edge cases (always present, mirrors reference unit tests)
+    add("The service <urn:Application:payment-service> handles payments.")
+    add(
+        "The <urn:Application:api-gateway> routes to <urn:Application:auth-service>"
+        " and <urn:Application:user-service>."
+    )
+    add("Found <urn:Namespace:kube_system> namespace.")
+    add("<urn:Service:api-gateway-service>")
+    add("<urn:Route:api_v2_endpoint>")
+    add("<urn:Application:my-service_v2>")
+    add(
+        "Dup in one turn: <urn:Service:payment-api> again <urn:Service:payment-api>."
+    )
+    add("Case variants: <urn:service:payment-api> and <urn:Services:payment-api>.")
+    add("Weird but valid: <urn:Service:api.v2> and <urn:Service:node-42>.")
+    for bad in MALFORMED:
+        add(f"Malformed mention {bad} should extract nothing.")
+    add("Literal trap: value is None and {json: like} [array] braces.")
+    add("This service uses Prometheus for metrics and is maintained by the Platform team.")
+    add("Deployed via ArgoCD to production. The backend is written in Go.")
+    add("It is backed by PostgreSQL and uses Redis for caching.")
+    add("Contact alice@example.com or join #incident-response for help.")
+    add("Repo at https://github.com/org/payment-api (see #platform_eng).")
+    add("The payment-api service (aka payment_service, Payment API) uses Kafka.")
+
+    # Templated filler
+    tools = np.array(TOOLS)
+    # Hot-entity skew: Kubernetes dominates verb mentions (~30%)
+    tool_w = np.full(len(tools), 0.7 / (len(tools) - 1))
+    tool_w[-1] = 0.3
+    langs = np.array(LANGS)
+    teams = np.array(TEAMS)
+    dbs = np.array(DBS)
+    urns = np.array(URN_POOL)
+    emails = np.array(EMAILS)
+    urls = np.array(URLS)
+    slacks = np.array(SLACKS)
+
+    templates = [
+        "Investigating latency: service uses {tool} and is written in {lang}.",
+        "The pipeline is deployed via {tool} and maintained by the {team} team.",
+        "Storage layer backed by {db}; dashboards at {url}.",
+        "Check <{urn}> — it uses {tool}. Ping {email} or {slack}.",
+        "Rollout status for <{urn}> and <{urn2}> looks good.",
+        "No extractables in this turn, just ordinary prose about the system.",
+        "Plain discussion of throughput and batch sizes with no entities.",
+        "It uses {tool} and also uses {tool2}; both maintained by the {team} team.",
+        "Runbook {url} says the job is written in {lang} and backed by {db}.",
+        "Alert in {slack}: <{urn}> degraded, contact {email}.",
+    ]
+    while len(pool) < n:
+        t = templates[int(rng.integers(0, len(templates)))]
+        txt = t.format(
+            tool=rng.choice(tools, p=tool_w),
+            tool2=rng.choice(tools, p=tool_w),
+            lang=rng.choice(langs),
+            team=rng.choice(teams),
+            db=rng.choice(dbs),
+            urn=rng.choice(urns),
+            urn2=rng.choice(urns),
+            email=rng.choice(emails),
+            url=rng.choice(urls),
+            slack=rng.choice(slacks),
+        )
+        pool.append(txt)
+    return pool
+
+
+def gen_transcripts(
+    n_conv: int = 200,
+    mean_turns: int = 24,
+    n_long: int = 2,
+    long_turns: int = 500,
+    seed: int = SEED,
+) -> pd.DataFrame:
+    """Generate the transcripts table (conv_id, turn_idx, role, text, tool, ts)."""
+    rng = np.random.default_rng(seed)
+    pool = np.array(_build_text_pool(rng), dtype=object)
+
+    turns_per_conv = rng.poisson(mean_turns, size=n_conv).clip(2, None)
+    turns_per_conv[:n_long] = long_turns  # long-conversation fixtures
+
+    conv_ids = np.repeat(
+        np.array([f"conv-{i:06d}" for i in range(n_conv)], dtype=object),
+        turns_per_conv,
+    )
+    turn_idx = np.concatenate([np.arange(k) for k in turns_per_conv])
+    n = len(conv_ids)
+
+    role = np.where(turn_idx % 2 == 0, "user", "assistant")
+    text = pool[rng.integers(0, len(pool), size=n)]
+    tool = np.where(
+        (role == "assistant") & (rng.random(n) < 0.2), "query_dgraph", None
+    )
+    conv_ordinal = np.repeat(np.arange(n_conv), turns_per_conv)
+    base = pd.Timestamp("2026-01-01T00:00:00Z").value // 10**9
+    ts = (
+        pd.to_datetime(base + conv_ordinal * 3600 + turn_idx * 30, unit="s", utc=True)
+        .tz_localize(None)
+        .astype("datetime64[us]")  # Spark can't scan NANOS parquet timestamps
+    )
+
+    df = pd.DataFrame(
+        {
+            "conv_id": conv_ids,
+            "turn_idx": turn_idx.astype("int32"),
+            "role": role,
+            "text": text,
+            "tool": tool,
+            "ts": ts,
+        }
+    )
+    # Shuffle physical row order: correctness must come from explicit
+    # (conv_id, turn_idx) window ordering, never storage order (FIXTURES F1).
+    return df.sample(frac=1.0, random_state=seed).reset_index(drop=True)
+
+
+def gen_alias_dictionary(seed: int = SEED) -> pd.DataFrame:
+    """Alias dictionary (FIXTURES F2): alias_norm -> canonical entity.
+
+    Includes alias variants of one entity, a colliding blocking key
+    ('gateway' maps to two canonicals — loader keeps min canonical_urn),
+    and identity rows for the tool vocabulary incl. the hot entity.
+    """
+    rows: list[tuple[str, str, str, str]] = []
+    # alias variants of the same entity (linking + canonicalization fixture)
+    for alias in ("payment api", "payment service", "payment-api svc"):
+        rows.append((alias, "urn:Service:payment-api", "Service", "Payment API"))
+    # colliding blocking key
+    rows.append(("gateway", "urn:Application:api-gateway", "Application", "API Gateway"))
+    rows.append(("gateway", "urn:Service:edge-gateway", "Service", "Edge Gateway"))
+    # tool vocabulary identity rows (incl. hot entity kubernetes)
+    for t in TOOLS:
+        rows.append((t.lower(), f"urn:Tool:{t.lower()}", "Tool", t))
+    for lang in LANGS:
+        rows.append((lang.lower(), f"urn:ProgrammingLanguage:{lang.lower()}", "ProgrammingLanguage", lang))
+    for team in TEAMS:
+        norm = team.lower().replace("-", " ")
+        rows.append((norm, f"urn:Team:{norm.replace(' ', '-')}", "Team", team))
+    for db in DBS:
+        rows.append((db.lower(), f"urn:Database:{db.lower()}", "Database", db))
+    # filler rows to reach dictionary scale (~500) with unique keys
+    rng = np.random.default_rng(seed)
+    for i in range(460):
+        rows.append(
+            (
+                f"synthetic alias {i}",
+                f"urn:Service:synthetic-{i}",
+                "Service",
+                f"Synthetic {i}",
+            )
+        )
+    df = pd.DataFrame(
+        rows, columns=["alias_norm", "canonical_urn", "entity_type", "canonical_name"]
+    )
+    return df.sample(frac=1.0, random_state=seed).reset_index(drop=True)
+
+
+def write_corpus(out_dir: str, n_conv: int = 200, seed: int = SEED, **kw) -> dict:
+    """Write transcripts.parquet + alias_dictionary.parquet; returns stats."""
+    os.makedirs(out_dir, exist_ok=True)
+    tr = gen_transcripts(n_conv=n_conv, seed=seed, **kw)
+    al = gen_alias_dictionary(seed=seed)
+    tr.to_parquet(os.path.join(out_dir, "transcripts.parquet"), index=False)
+    al.to_parquet(os.path.join(out_dir, "alias_dictionary.parquet"), index=False)
+    return {"turns": len(tr), "conversations": tr["conv_id"].nunique(), "aliases": len(al)}

@@ -1,0 +1,256 @@
+"""(subj, pred, obj) triple emission — the output contract.
+
+Mirrors the reference's N-Quads conversion exactly
+(/root/reference/extraction/load_dgraph.py:273-417):
+
+- one ``dgraph.type`` triple per entity (emitted verbatim, bypassing
+  predicate cleaning, load_dgraph.py:284-290);
+- uid triples for entity references (obj_is_ref=true, dtype='uid');
+- typed-literal triples for scalars (dtype in string/int/float/bool) with
+  the reference's literal formatting (bool lowercased, load_dgraph.py:395-400);
+- predicate-name cleaning (strip '@', ``$:/\\`` -> '_', reserved ``uid`` /
+  ``dgraph.`` guard, load_dgraph.py:357-382);
+- string-literal escaping + sanitization (drop strings containing
+  ``{}[]`` or equal to 'None', load_dgraph.py:384-417);
+- URN percent-encoding keeping ':' on subj and ref objects
+  (load_dgraph.py:351-355);
+- mixed-type predicate resolution: uid beats scalar — scalar triples on a
+  uid predicate are dropped in a second pass (load_dgraph.py:172-206,324-346).
+
+All transforms are JVM-side column expressions (whole-stage codegen); the
+only shuffles are the final first-occurrence dedup aggregation (A1/A2,
+map-side combinable) and the tiny uid-predicate broadcast.
+"""
+
+from __future__ import annotations
+
+import re as _re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kartograph_spark.rules import _URN_ENCODE_CHAIN
+
+PROV_COLS = ("conv_id", "turn_idx", "kind_rank", "match_idx")
+
+
+# -- Spark mirrors of the vectorized string rules (rules.py) ---------------
+
+def encode_urn_col(c: Column) -> Column:
+    """Percent-encode keeping ':' (load_dgraph.py:351-355)."""
+    for ch, rep in _URN_ENCODE_CHAIN:
+        c = F.regexp_replace(c, _re.escape(ch), rep.replace("\\", "\\\\"))
+    return c
+
+
+def clean_predicate_col(c: Column) -> Column:
+    """load_dgraph.py:357-382."""
+    c = F.regexp_replace(c, r"^@+", "")
+    c = F.regexp_replace(c, r"[$:/\\]", "_")
+    c = F.when(c == "uid", F.lit("_uid")).otherwise(c)
+    return F.when(c.startswith("dgraph."), F.concat(F.lit("_"), c)).otherwise(c)
+
+
+def escape_literal_col(c: Column) -> Column:
+    """Backslash, quote, newline escaping (load_dgraph.py:401-407)."""
+    c = F.regexp_replace(c, r"\\", r"\\\\")
+    c = F.regexp_replace(c, '"', '\\\\"')
+    return F.regexp_replace(c, "\n", r"\\n")
+
+
+def literal_kept_col(c: Column) -> Column:
+    """Sanitization filter (load_dgraph.py:408-417): keep literal unless it
+    contains braces/brackets or equals 'None'."""
+    return ~(c.rlike(r"[{}\[\]]") | (c == "None"))
+
+
+def conv_subject_col() -> Column:
+    return F.concat(F.lit("urn:Conversation:"), F.col("conv_id"))
+
+
+# -- Triple builders --------------------------------------------------------
+
+def _with_prov(df: DataFrame, turn_idx, kind_rank, match_idx) -> DataFrame:
+    return (
+        df.withColumn("turn_idx", turn_idx.cast("long"))
+        .withColumn("kind_rank", kind_rank.cast("long"))
+        .withColumn("match_idx", match_idx.cast("long"))
+    )
+
+
+def mention_triples(mentions: DataFrame) -> DataFrame:
+    """Canonicalized mentions -> edge + node-attribute triples (un-deduped).
+
+    Output: (subj, pred, obj, obj_is_ref, dtype, conv_id, turn_idx,
+    kind_rank, match_idx).
+    """
+    edges = mentions.select(
+        conv_subject_col().alias("subj"),
+        clean_predicate_col(F.col("pred")).alias("pred"),
+        F.col("urn").alias("obj"),
+        F.lit(True).alias("obj_is_ref"),
+        F.lit("uid").alias("dtype"),
+        *PROV_COLS,
+    )
+    node_types = mentions.select(
+        F.col("urn").alias("subj"),
+        F.lit("dgraph.type").alias("pred"),  # verbatim, load_dgraph.py:284-290
+        F.col("entity_type").alias("obj"),
+        F.lit(False).alias("obj_is_ref"),
+        F.lit("string").alias("dtype"),
+        *PROV_COLS,
+    )
+    names = mentions.withColumn("obj", escape_literal_col(F.col("name")))
+    node_names = names.filter(literal_kept_col(F.col("obj"))).select(
+        F.col("urn").alias("subj"),
+        F.lit("name").alias("pred"),
+        F.col("obj"),
+        F.lit(False).alias("obj_is_ref"),
+        F.lit("string").alias("dtype"),
+        *PROV_COLS,
+    )
+    return edges.unionByName(node_types).unionByName(node_names)
+
+
+def conversation_triples(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation entity record with typed scalar literals.
+
+    Gives the triple set dtype diversity matching the reference's literal
+    formats (load_dgraph.py:384-400): int (turn_count), float
+    (avg_gap_secs), bool (has_tool_calls), string (name, started_at).
+    Single aggregation, map-side combinable.
+    """
+    agg = transcripts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("turn_count"),
+        F.min("turn_idx").alias("first_turn"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.max(F.col("tool").isNotNull()).alias("has_tool"),
+    )
+    subj = conv_subject_col()
+
+    def row(pred: str, obj: Column, dtype: str) -> DataFrame:
+        d = agg.select(
+            subj.alias("subj"),
+            F.lit(pred).alias("pred"),
+            obj.alias("obj"),
+            F.lit(False).alias("obj_is_ref"),
+            F.lit(dtype).alias("dtype"),
+            F.col("conv_id"),
+            F.col("first_turn").cast("long").alias("turn_idx"),
+            F.lit(-1).cast("long").alias("kind_rank"),
+            F.lit(0).cast("long").alias("match_idx"),
+        )
+        return d
+
+    parts = [
+        row("dgraph.type", F.lit("Conversation"), "string"),
+        row("name", F.col("conv_id"), "string"),
+        row("turn_count", F.col("turn_count").cast("string"), "int"),
+        row(
+            "started_at",
+            F.date_format("min_ts", "yyyy-MM-dd'T'HH:mm:ss"),
+            "string",
+        ),
+        row(
+            "has_tool_calls",
+            F.when(F.col("has_tool"), "true").otherwise("false"),
+            "bool",
+        ),
+    ]
+    gap = row(
+        "avg_gap_secs",
+        F.round(
+            (F.unix_timestamp("max_ts") - F.unix_timestamp("min_ts"))
+            / (F.col("turn_count") - 1),
+            2,
+        ).cast("string"),
+        "float",
+    )
+    parts.append(gap.filter(F.col("obj").isNotNull()))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def dedup_first_occurrence(triples: DataFrame) -> DataFrame:
+    """Operator A1/A2 + W1: distinct (subj,pred,obj) with first-emission
+    provenance under stable (conv_id, turn_idx, kind_rank, match_idx) order.
+
+    Merge semantics match urn_deduplicator.py:102-156: conflicting (pred,
+    obj) values survive as distinct triples (union of distinct pairs);
+    first occurrence wins provenance.
+    """
+    return (
+        triples.groupBy("subj", "pred", "obj", "obj_is_ref", "dtype")
+        .agg(F.min(F.struct(*PROV_COLS)).alias("prov"))
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            "obj_is_ref",
+            "dtype",
+            F.col("prov.conv_id").alias("conv_id"),
+            F.col("prov.turn_idx").alias("turn_idx"),
+        )
+    )
+
+
+def resolve_mixed_type_predicates(triples: DataFrame) -> DataFrame:
+    """uid > scalar resolution (load_dgraph.py:172-206, 324-346): drop
+    scalar triples whose predicate is observed as uid anywhere.
+
+    The uid-predicate set is tiny (distinct predicate names) -> broadcast
+    left anti join, no shuffle of the triple set.
+    """
+    uid_preds = (
+        triples.filter(F.col("obj_is_ref")).select("pred").distinct()
+    )
+    scalars = triples.filter(~F.col("obj_is_ref")).join(
+        F.broadcast(uid_preds), "pred", "left_anti"
+    )
+    return triples.filter(F.col("obj_is_ref")).unionByName(scalars)
+
+
+def encode_final(triples: DataFrame) -> DataFrame:
+    """Percent-encode subj and ref objects (load_dgraph.py:351-355)."""
+    return triples.withColumn("subj", encode_urn_col(F.col("subj"))).withColumn(
+        "obj",
+        F.when(F.col("obj_is_ref"), encode_urn_col(F.col("obj"))).otherwise(
+            F.col("obj")
+        ),
+    )
+
+
+def to_nquads(triples: DataFrame) -> DataFrame:
+    """Render N-Quad lines (load_dgraph.py:273-349 formatting): one string
+    column ``nquad``.  Export sink: ``df.write.text`` replaces the
+    reference's `dgraph live` subprocess (S6)."""
+    lit_suffix = {
+        "bool": "^^<xs:boolean>",
+        "int": "^^<xs:int>",
+        "float": "^^<xs:float>",
+    }
+    obj_rendered = F.when(
+        F.col("obj_is_ref"), F.concat(F.lit("<"), F.col("obj"), F.lit(">"))
+    )
+    for dt, suf in lit_suffix.items():
+        obj_rendered = obj_rendered.when(
+            F.col("dtype") == dt,
+            F.concat(F.lit('"'), F.col("obj"), F.lit('"' + suf)),
+        )
+    obj_rendered = obj_rendered.otherwise(
+        F.concat(F.lit('"'), F.col("obj"), F.lit('"'))
+    )
+    return triples.select(
+        F.concat(
+            F.lit("<"),
+            F.col("subj"),
+            F.lit("> <"),
+            F.col("pred"),
+            F.lit("> "),
+            obj_rendered,
+            F.lit(" ."),
+        ).alias("nquad")
+    )

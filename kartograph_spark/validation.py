@@ -1,0 +1,101 @@
+"""Graph validation — anti/semi-join checks (operators J1/J2, V-rules).
+
+Reference semantics:
+- broken references = referenced URNs with no entity record
+  (/root/reference/extraction/kg_extractor/validation/entity_validator.py:334-368,
+  set difference at :357) -> left ANTI join of ref edges against node set;
+  per the two-pass rule (docs/PROCESS.md:1591-1663) broken edges are
+  EXCLUDED from the final graph and reported.
+- orphans = entities with no edges into/out of the graph
+  (entity_validator.py:290-332) -> anti join both directions, warning only.
+- record-level rules: URN format, PascalCase type
+  (models.py:41-69, entity_validator.py:154-257) -> rlike filters into a
+  validation_errors side table (severity model models.py:171-189).
+Validation never fails the run (config.py:150-157
+``fail_on_validation_errors=False``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kartograph_spark import rules
+
+
+def node_urns(triples: DataFrame) -> DataFrame:
+    """Entities defined in the graph = subjects carrying a dgraph.type triple."""
+    return (
+        triples.filter(F.col("pred") == rules.DGRAPH_TYPE_PRED)
+        .select(F.col("subj").alias("urn"))
+        .distinct()
+    )
+
+
+def split_broken_refs(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(kept_triples, broken_ref_edges).
+
+    Ref edges whose obj is not a defined node are dropped from the graph
+    and reported (J1 + two-pass exclusion).  Node set is distinct URNs —
+    far smaller than the edge set, but not guaranteed tiny, so this is a
+    plain equi join and AQE may still broadcast it when small.
+    """
+    nodes = node_urns(triples)
+    refs = triples.filter(F.col("obj_is_ref"))
+    scalars = triples.filter(~F.col("obj_is_ref"))
+
+    nodes_as_obj = nodes.withColumnRenamed("urn", "obj")
+    kept_refs = refs.join(nodes_as_obj, "obj", "left_semi")
+    broken = refs.join(nodes_as_obj, "obj", "left_anti").select(
+        F.col("subj").alias("entity_id"),
+        F.col("pred").alias("field"),
+        F.col("obj").alias("target_urn"),
+        F.lit("broken reference: target entity not defined").alias("message"),
+        F.lit("error").alias("severity"),
+    )
+    return scalars.unionByName(kept_refs), broken
+
+
+def find_orphans(triples: DataFrame) -> DataFrame:
+    """Nodes with no inbound and no outbound ref edge (J2), severity=warning."""
+    nodes = node_urns(triples)
+    refs = triples.filter(F.col("obj_is_ref"))
+    out_side = refs.select(F.col("subj").alias("urn")).distinct()
+    in_side = refs.select(F.col("obj").alias("urn")).distinct()
+    connected = out_side.union(in_side).distinct()
+    return nodes.join(connected, "urn", "left_anti").select(
+        F.col("urn").alias("entity_id"),
+        F.lit("graph").alias("field"),
+        F.lit(None).cast("string").alias("target_urn"),
+        F.lit("orphan entity: no relationships to/from the graph").alias("message"),
+        F.lit("warning").alias("severity"),
+    )
+
+
+def record_errors(mentions: DataFrame) -> DataFrame:
+    """URN / type-name validity over extracted mentions (models.py:41-69)."""
+    bad_urn = mentions.filter(~F.col("urn").rlike(rules.URN_VALID_RE)).select(
+        F.col("urn").alias("entity_id"),
+        F.lit("id").alias("field"),
+        F.lit(None).cast("string").alias("target_urn"),
+        F.lit("invalid URN format, expected urn:Type:identifier").alias("message"),
+        F.lit("error").alias("severity"),
+    )
+    bad_type = mentions.filter(
+        ~F.col("entity_type").rlike(rules.TYPE_VALID_RE)
+    ).select(
+        F.col("urn").alias("entity_id"),
+        F.lit("type").alias("field"),
+        F.lit(None).cast("string").alias("target_urn"),
+        F.lit("invalid type name, expected PascalCase alphanumeric").alias("message"),
+        F.lit("warning").alias("severity"),
+    )
+    return bad_urn.unionByName(bad_type).distinct()
+
+
+def validation_summary(errors: DataFrame) -> DataFrame:
+    """A8 rollup: counts by severity and field, distinct entities."""
+    return errors.groupBy("severity", "field").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("entity_id").alias("entities"),
+    )

@@ -1,0 +1,45 @@
+"""Connected components + canonical map (SURVEY.md §2.6; FIXTURES F4
+coreference-chain case: A≡B in conv 1, B≡C in conv 2 -> one component)."""
+
+from kartograph_spark.components import canonical_map, connected_components
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def test_transitive_chain(spark):
+    labels = connected_components(
+        _pairs(spark, [("b", "a"), ("c", "b"), ("e", "d")])
+    )
+    got = {(r["member"], r["component"]) for r in labels.collect()}
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "d"), ("e", "d")}
+
+
+def test_long_chain_converges(spark):
+    n = 40
+    rows = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n)]
+    labels = connected_components(_pairs(spark, rows))
+    comps = {r["component"] for r in labels.collect()}
+    assert comps == {"n000"}
+    assert labels.count() == n + 1
+
+
+def test_canonical_map_min_urn(spark):
+    cmap = canonical_map(_pairs(spark, [("urn:T:b", "urn:T:a"), ("urn:T:c", "urn:T:b")]))
+    got = {(r["member_urn"], r["canonical_urn"]) for r in cmap.collect()}
+    assert got == {("urn:T:b", "urn:T:a"), ("urn:T:c", "urn:T:a")}
+
+
+def test_canonical_map_prefers_dictionary(spark):
+    # min urn would be urn:A:x, but urn:Z:canon is a dictionary canonical
+    pairs = _pairs(spark, [("urn:A:x", "urn:Z:canon")])
+    pref = spark.createDataFrame([("urn:Z:canon",)], "urn string")
+    cmap = canonical_map(pairs, preferred=pref)
+    got = {(r["member_urn"], r["canonical_urn"]) for r in cmap.collect()}
+    assert got == {("urn:A:x", "urn:Z:canon")}
+
+
+def test_empty_pairs(spark):
+    cmap = canonical_map(_pairs(spark, []))
+    assert cmap.count() == 0

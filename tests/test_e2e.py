@@ -1,0 +1,88 @@
+"""End-to-end: Spark pipeline vs pure-pandas oracle on the deterministic
+synthetic corpus (FIXTURES F3; BASELINE.json: triple P/R >= 0.95 required,
+exact equality targeted)."""
+
+import tempfile
+
+import pytest
+
+from kartograph_spark.config import PipelineConfig
+from kartograph_spark.oracle.oracle import oracle_triples, triple_prf
+from kartograph_spark.pipeline import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, transcripts_df, alias_df):
+    out = tempfile.mkdtemp(prefix="kg-out-")
+    cfg = PipelineConfig(n_buckets=8)
+    metrics = run_pipeline(spark, transcripts_df, alias_df, out, cfg)
+    return out, metrics
+
+
+def test_triples_match_oracle(spark, pipeline_out, transcripts_pdf, alias_pdf):
+    out, metrics = pipeline_out
+    actual = spark.read.parquet(f"{out}/triples").toPandas()
+    expected = oracle_triples(transcripts_pdf, alias_pdf)
+    prf = triple_prf(actual, expected)
+    assert prf["precision"] >= 0.95, prf
+    assert prf["recall"] >= 0.95, prf
+    # target: exact set equality
+    assert prf["precision"] == 1.0 and prf["recall"] == 1.0, prf
+
+
+def test_first_occurrence_provenance_matches_oracle(
+    spark, pipeline_out, transcripts_pdf, alias_pdf
+):
+    out, _ = pipeline_out
+    actual = (
+        spark.read.parquet(f"{out}/triples")
+        .toPandas()
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    expected = (
+        oracle_triples(transcripts_pdf, alias_pdf)
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    merged = actual.merge(
+        expected, on=["subj", "pred", "obj"], suffixes=("_a", "_e")
+    )
+    assert (merged["conv_id_a"] == merged["conv_id_e"]).all()
+    assert (
+        merged["turn_idx_a"].astype("int64") == merged["turn_idx_e"].astype("int64")
+    ).all()
+
+
+def test_metrics_rollup(pipeline_out):
+    _, metrics = pipeline_out
+    assert metrics["triples"] > 0
+    assert metrics["entities"] > 0
+    assert metrics["edges"] > 0
+    assert metrics["broken_refs"] == 0
+    assert metrics["triples_per_sec"] is not None
+
+
+def test_graph_tables_consistent(spark, pipeline_out):
+    out, metrics = pipeline_out
+    nodes = spark.read.parquet(f"{out}/graph_nodes")
+    edges = spark.read.parquet(f"{out}/graph_edges")
+    assert nodes.count() == metrics["entities"]
+    # every edge endpoint is a node (two-pass rule: broken refs excluded)
+    dangling = edges.join(
+        nodes.selectExpr("urn as obj"), "obj", "left_anti"
+    ).count()
+    assert dangling == 0
+
+
+def test_schema_manifest(pipeline_out):
+    import json
+
+    out, _ = pipeline_out
+    manifest = json.load(open(f"{out}/schema_manifest.json"))
+    by_pred = {m["predicate"]: m for m in manifest}
+    assert by_pred["mentions"]["resolved_type"] == "uid"
+    assert by_pred["mentions"]["reverse"] is True
+    assert by_pred["turn_count"]["resolved_type"] == "int"
+    assert by_pred["has_tool_calls"]["resolved_type"] == "bool"
+    assert by_pred["avg_gap_secs"]["resolved_type"] == "float"

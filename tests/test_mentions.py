@@ -1,0 +1,122 @@
+"""Mention extraction (E1/E4/verb patterns) — cases transcribed from the
+reference's own unit tests (app/server/services/EntityExtractor.test.ts)."""
+
+import pandas as pd
+
+from kartograph_spark.extraction.core import extract_mentions_block
+from kartograph_spark.extraction.mentions import extract_mentions
+
+
+def _turns(*texts):
+    return pd.DataFrame(
+        {
+            "conv_id": ["c0"] * len(texts),
+            "turn_idx": list(range(len(texts))),
+            "text": list(texts),
+        }
+    )
+
+
+def test_single_entity():
+    m = extract_mentions_block(
+        _turns("The service <urn:Application:payment-service> handles payments.")
+    )
+    assert len(m) == 1
+    r = m.iloc[0]
+    assert r["urn"] == "urn:Application:payment-service"
+    assert r["entity_type"] == "Application"
+    assert r["ident"] == "payment-service"
+    assert r["name"] == "payment service"  # displayName, EntityExtractor.ts:38
+
+
+def test_multiple_entities_in_order():
+    m = extract_mentions_block(
+        _turns(
+            "The <urn:Application:api-gateway> routes to "
+            "<urn:Application:auth-service> and <urn:Application:user-service>."
+        )
+    )
+    assert list(m["ident"]) == ["api-gateway", "auth-service", "user-service"]
+
+
+def test_underscore_and_hyphen_display_names():
+    m = extract_mentions_block(
+        _turns(
+            "Found <urn:Namespace:kube_system> namespace.",
+            "<urn:Application:my-service_v2>",
+        )
+    )
+    assert m[m["ident"] == "kube_system"].iloc[0]["name"] == "kube system"
+    assert m[m["ident"] == "my-service_v2"].iloc[0]["name"] == "my service v2"
+
+
+def test_dedupe_same_urn_keeps_first():
+    m = extract_mentions_block(
+        _turns("dup <urn:Service:x> mid <urn:Service:y> again <urn:Service:x>")
+    )
+    assert len(m) == 2
+    assert list(m["ident"]) == ["x", "y"]
+    assert m.iloc[0]["match_idx"] == 0
+
+
+def test_malformed_urns_extract_nothing():
+    # one malformed token per turn (combining them in one string creates a
+    # spanning match under the reference's own regex, EntityExtractor.ts:18)
+    m = extract_mentions_block(
+        _turns("<urn:missing>", "<urn::x>", "<urn:>", "<urn:Type>")
+    )
+    assert len(m) == 0
+
+
+def test_malformed_urn_skipped_next_to_valid():
+    # exact reference case: EntityExtractor.test.ts "missing type"
+    m = extract_mentions_block(
+        _turns("<urn::missing-type> and <urn:Valid:valid-id>")
+    )
+    assert len(m) == 1
+    assert m.iloc[0]["ident"] == "valid-id"
+
+
+def test_pattern_classes():
+    m = extract_mentions_block(
+        _turns(
+            "Contact Alice@Example.COM via https://github.com/org/repo. "
+            "or #incident-response"
+        )
+    )
+    kinds = dict(zip(m["kind"], m["urn"]))
+    assert kinds["email"] == "urn:EmailAddress:alice@example.com"
+    assert kinds["url"] == "urn:CodeRepository:https://github.com/org/repo"
+    assert kinds["slack"] == "urn:SlackChannel:incident-response"
+
+
+def test_verb_patterns():
+    m = extract_mentions_block(
+        _turns(
+            "It uses Prometheus, is deployed via ArgoCD, backed by PostgreSQL, "
+            "maintained by the Platform team and written in Go."
+        )
+    )
+    by_pred = dict(zip(m["pred"], m["urn"]))
+    assert by_pred["usesTool"] == "urn:Tool:prometheus"
+    assert by_pred["deployedVia"] == "urn:Tool:argocd"
+    assert by_pred["usesDatabase"] == "urn:Database:postgresql"
+    assert by_pred["maintainedBy"] == "urn:Team:platform"
+    assert by_pred["writtenIn"] == "urn:ProgrammingLanguage:go"
+
+
+def test_spark_matches_pandas_core(spark, transcripts_df, transcripts_pdf):
+    got = (
+        extract_mentions(transcripts_df)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx", "kind_rank", "match_idx"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        extract_mentions_block(transcripts_pdf[["conv_id", "turn_idx", "text"]])
+        .sort_values(["conv_id", "turn_idx", "kind_rank", "match_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"turn_idx": "int64"}), exp.astype({"turn_idx": "int64"})
+    )
