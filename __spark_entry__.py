@@ -1,38 +1,398 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship triple-emission query at sf0.001.
+``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
+training-data-pipeline ops); each callable (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — DuckDB-equivalent SQL per query (omitted only for
+genuinely iterative / bit-twiddling ops, which get rows-only checks).
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from kartograph_spark.datapipe import dedup, multimodal, relational, similarity, textstats
+from kartograph_spark.datapipe.textstats import VOCAB_RE
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: (subj, pred, obj) triple emission over the sf0.001
+    document corpus — the engine's output contract in one query."""
+    return textstats.doc_triples(spark, "/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------------------
+# KG pipeline over deterministic synthetic transcripts (rows-only check;
+# the pytest oracle asserts exact triple-set equality on this pipeline)
+# --------------------------------------------------------------------------
+
+_SYNTH_CACHE: dict[str, str] = {}
+
+
+def _synth_corpus() -> str:
+    if "dir" not in _SYNTH_CACHE:
+        from kartograph_spark import synth
+
+        d = os.path.join(tempfile.gettempdir(), "kg-entry-corpus-v1")
+        if not os.path.exists(os.path.join(d, "transcripts.parquet")):
+            synth.write_corpus(d, n_conv=120, mean_turns=12)
+        _SYNTH_CACHE["dir"] = d
+    return _SYNTH_CACHE["dir"]
+
+
+def _kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full KG-construction pipeline (extract -> link -> canonicalize ->
+    triples -> validate) on the seeded synthetic transcript corpus.
+    sf_dir is unused (the corpus is the pipeline's own input contract)."""
+    from kartograph_spark.pipeline import build_triples
+
+    d = _synth_corpus()
+    transcripts = spark.read.parquet(f"{d}/transcripts.parquet")
+    alias = spark.read.parquet(f"{d}/alias_dictionary.parquet")
+    kept, _broken = build_triples(spark, transcripts, alias)
+    return kept
+
+
+def _kg_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components canonicalization over MinHash near-dup pairs
+    (iterative large-star/small-star — not SQL-expressible)."""
+    from pyspark.sql import functions as F
+
+    from kartograph_spark.components import canonical_map
+
+    pairs = dedup.near_dup_pairs(spark, sf_dir).select(
+        F.col("doc_a").cast("string").alias("src"),
+        F.col("doc_b").cast("string").alias("dst"),
+    )
+    return canonical_map(pairs)
+
+
+# --------------------------------------------------------------------------
+# queries + oracles
+# --------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # KG / text extraction ops
+        "kg_doc_mentions": textstats.mentions,
+        "kg_doc_triples": textstats.doc_triples,
+        "kg_schema_inference": textstats.schema_inference,
+        "kg_first_mention": textstats.first_mention,
+        "text_lang_quality": textstats.lang_quality,
+        "text_fingerprints": textstats.fingerprints,
+        # dedup family
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_minhash_signatures": dedup.minhash_signatures,
+        "dedup_neardup_lsh": dedup.near_dup_pairs,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_simhash": dedup.simhash,
+        # similarity search
+        "sim_cosine_neighbors": similarity.cosine_neighbors,
+        "sim_knn_topk": similarity.knn_topk,
+        "sim_ann_lsh": similarity.ann_lsh,
+        # multimodal plumbing
+        "mm_media_features": multimodal.media_features,
+        # relational operator coverage
+        "rel_pricing_summary": relational.pricing_summary,
+        "rel_top_customers": relational.top_customers,
+        "rel_part_enrichment_bcast": relational.part_enrichment,
+        "rel_broken_part_refs_anti": relational.broken_part_refs,
+        "rel_orphan_customers_anti": relational.orphan_customers,
+        "rel_last_events_window": relational.last_events,
+        "rel_user_sessions": relational.user_sessions,
+        "rel_event_rollup": relational.event_rollup,
+        "rel_purchase_click_intersect": relational.purchase_click_overlap,
+        "rel_order_priority_hist": relational.order_priority_histogram,
+        # iterative / pipeline (rows-only)
+        "kg_connected_components": _kg_connected_components,
+        "kg_pipeline_synthetic": _kg_pipeline_triples,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_MENTIONS_CTE = f"""
+mention_rows AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(text, '{VOCAB_RE}', 1)) AS term,
+           generate_subscripts(regexp_extract_all(text, '{VOCAB_RE}', 1), 1) - 1 AS idx
+    FROM documents
+),
+mentions AS (
+    SELECT doc_id, term,
+           count(*) AS n_occurrences,
+           CAST(min(idx) AS BIGINT) AS first_idx
+    FROM mention_rows GROUP BY doc_id, term
+)
+"""
+
+_TRIPLES_CTE = (
+    "WITH "
+    + _MENTIONS_CTE
+    + """,
+dt AS (SELECT DISTINCT doc_id, term FROM mentions),
+triples AS (
+    SELECT DISTINCT * FROM (
+        SELECT 'urn:Doc:' || doc_id AS subj, 'mentions' AS pred,
+               'urn:Term:' || term AS obj, 'uid' AS dtype FROM dt
+        UNION ALL
+        SELECT 'urn:Term:' || term, 'dgraph.type', 'Term', 'string' FROM dt
+        UNION ALL
+        SELECT 'urn:Term:' || term, 'name', term, 'string' FROM dt
+    )
+)
+"""
+)
+
+_SHINGLES_CTE = """
+base AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+    SELECT doc_id,
+           list_transform(generate_series(1, len(toks) - 2),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+    FROM base
+),
+sigs AS (
+    SELECT doc_id,
+           min(md5('a|' || s)) AS mh1,
+           min(md5('b|' || s)) AS mh2,
+           min(md5('c|' || s)) AS mh3,
+           min(md5('d|' || s)) AS mh4
+    FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+    GROUP BY doc_id
+)
+"""
+
+_COSINE_CTE = """
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "kg_doc_mentions": "WITH "
+        + _MENTIONS_CTE
+        + "SELECT doc_id, term, n_occurrences, first_idx FROM mentions",
+        "kg_doc_triples": _TRIPLES_CTE + "SELECT subj, pred, obj, dtype FROM triples",
+        "kg_schema_inference": _TRIPLES_CTE
+        + """
+SELECT pred,
+       string_agg(DISTINCT dtype, ',' ORDER BY dtype) AS observed,
+       CASE WHEN string_agg(DISTINCT dtype, ',' ORDER BY dtype) LIKE '%uid%' THEN 'uid'
+            WHEN string_agg(DISTINCT dtype, ',' ORDER BY dtype) LIKE '%,%' THEN 'string'
+            ELSE string_agg(DISTINCT dtype, ',' ORDER BY dtype) END AS resolved,
+       count(*) AS n_triples
+FROM triples GROUP BY pred
+""",
+        "kg_first_mention": "WITH "
+        + _MENTIONS_CTE
+        + "SELECT term, min(doc_id) AS first_doc, count(*) AS n_docs FROM mentions GROUP BY term",
+        "text_lang_quality": """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count,
+       CAST(floor(n_chars / 4) AS BIGINT) AS est_tokens,
+       round(len(list_filter(string_split(text, ' '),
+                             t -> t = 'the' OR t = 'a' OR t = 'of'))
+             / len(string_split(text, ' ')), 4) AS stop_ratio,
+       round(0.5 * least(1.0, len(string_split(text, ' ')) / 60.0)
+             + 0.5 * (1 - len(list_filter(string_split(text, ' '),
+                                          t -> t = 'the' OR t = 'a' OR t = 'of'))
+                          / len(string_split(text, ' '))), 4) AS quality_score,
+       CASE WHEN len(list_filter(string_split(text, ' '),
+                                 t -> t = 'the' OR t = 'a' OR t = 'of'))
+                 / len(string_split(text, ' ')) >= 0.05
+            THEN 'en' ELSE lang END AS pred_lang
+FROM documents
+""",
+        "text_fingerprints": """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+       n_chars
+FROM documents
+""",
+        "dedup_exact": """
+WITH fp AS (
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+    FROM documents
+)
+SELECT fp, min(doc_id) AS canonical_doc, count(*) AS dup_count
+FROM fp GROUP BY fp HAVING count(*) > 1
+""",
+        "dedup_minhash_signatures": "WITH "
+        + _SHINGLES_CTE
+        + "SELECT doc_id, mh1, mh2, mh3, mh4 FROM sigs",
+        "dedup_neardup_lsh": "WITH "
+        + _SHINGLES_CTE
+        + """
+, cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1 AS band
+    FROM sigs a JOIN sigs b ON a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+    UNION
+    SELECT a.doc_id, b.doc_id, 2 FROM sigs a JOIN sigs b ON a.mh2 = b.mh2 AND a.doc_id < b.doc_id
+    UNION
+    SELECT a.doc_id, b.doc_id, 3 FROM sigs a JOIN sigs b ON a.mh3 = b.mh3 AND a.doc_id < b.doc_id
+    UNION
+    SELECT a.doc_id, b.doc_id, 4 FROM sigs a JOIN sigs b ON a.mh4 = b.mh4 AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, count(*) AS matched_bands, round(count(*) / 4.0, 2) AS est_jaccard
+FROM cand GROUP BY doc_a, doc_b HAVING count(*) >= 2
+""",
+        "dedup_ngram_jaccard": "WITH "
+        + _SHINGLES_CTE
+        + """
+, s AS (
+    SELECT sh.doc_id, list_distinct(sh.shingles) AS sset,
+           len(list_distinct(sh.shingles)) AS n, sigs.mh1
+    FROM sh JOIN sigs ON sh.doc_id = sigs.doc_id
+)
+SELECT * FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.sset, b.sset))
+                 / (a.n + b.n - len(list_intersect(a.sset, b.sset))), 4) AS jaccard
+    FROM s a JOIN s b ON a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+) WHERE jaccard >= 0.8
+""",
+        "sim_cosine_neighbors": "WITH "
+        + _COSINE_CTE
+        + """
+SELECT * FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           round(list_dot_product(q.emb, e.emb)
+                 / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(e.emb, e.emb))), 4) AS cosine
+    FROM e q, e
+    WHERE q.vec_id < 20 AND q.vec_id <> e.vec_id
+) WHERE cosine >= 0.25
+""",
+        "sim_knn_topk": "WITH "
+        + _COSINE_CTE
+        + """
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 4) AS cosine FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           list_dot_product(q.emb, e.emb)
+             / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(e.emb, e.emb))) AS sim,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_dot_product(q.emb, e.emb)
+                                / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(e.emb, e.emb))) DESC,
+                              e.vec_id) AS rank
+    FROM e q, e
+    WHERE q.vec_id < 10 AND q.vec_id <> e.vec_id
+) WHERE rank <= 5
+""",
+        "sim_ann_lsh": "WITH "
+        + _COSINE_CTE
+        + """
+, b AS (
+    SELECT vec_id, emb,
+           (emb[1] > 0)::INT * 1 + (emb[2] > 0)::INT * 2 + (emb[3] > 0)::INT * 4
+         + (emb[4] > 0)::INT * 8 + (emb[5] > 0)::INT * 16 + (emb[6] > 0)::INT * 32
+         + (emb[7] > 0)::INT * 64 + (emb[8] > 0)::INT * 128 AS bucket
+    FROM e
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 4) AS cosine FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_dot_product(q.emb, c.emb)
+             / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb))) AS sim,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_dot_product(q.emb, c.emb)
+                                / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb))) DESC,
+                              c.vec_id) AS rank
+    FROM b q JOIN b c ON q.bucket = c.bucket
+    WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+) WHERE rank <= 5
+""",
+        "mm_media_features": """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+       md5(text) AS sig,
+       CAST(octet_length(encode(text)) // 64 + 1 AS INTEGER) AS n_frames
+FROM documents
+""",
+        "rel_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "rel_top_customers": """
+WITH agg AS (
+    SELECT c_custkey, c_name, n_name,
+           round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name
+)
+SELECT CAST(rank AS BIGINT) AS rank, c_custkey, c_name, n_name, revenue, n_orders FROM (
+    SELECT row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rank, *
+    FROM agg
+) WHERE rank <= 20
+""",
+        "rel_part_enrichment_bcast": """
+SELECT p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+        "rel_broken_part_refs_anti": """
+SELECT l_orderkey, count(*) AS n_broken, min(l_partkey) AS min_partkey
+FROM lineitem
+WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size >= 10)
+GROUP BY l_orderkey
+""",
+        "rel_orphan_customers_anti": """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000.0
+)
+""",
+        "rel_last_events_window": """
+SELECT user_id, CAST(rn AS BIGINT) AS rn, event_id, event_type FROM (
+    SELECT user_id, event_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn <= 3
+""",
+        "rel_user_sessions": """
+SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events FROM (
+    SELECT user_id,
+           CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800.0
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+) GROUP BY user_id
+""",
+        "rel_event_rollup": """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "rel_purchase_click_intersect": """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+        "rel_order_priority_hist": """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+       round(avg(o_totalprice), 2) AS avg_price
+FROM orders WHERE o_orderstatus <> 'F'
+GROUP BY o_orderpriority, o_orderstatus
+""",
+    }

@@ -1,0 +1,155 @@
+"""Deduplication operators over the ``documents`` table.
+
+Scale posture: exact dedup is a hash groupBy (one shuffle, map-side
+combinable).  Near-dup uses MinHash banding: signatures are a map-only
+stage; candidate generation joins on band equality (shuffle keyed by band
+value — bounded by band cardinality, never a cross join), mirroring the
+production shingle->minhash->band->bucket-join pipeline.  SimHash packs
+md5-derived bits JVM-side.  All deterministic (md5-based hashing, no RNG)
+so the DuckDB oracles reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kartograph_spark.datapipe.textstats import docs, fingerprints
+
+#: MinHash salts — 4 independent hash functions h_i(s) = md5(salt_i || s)
+MINHASH_SALTS = ("a|", "b|", "c|", "d|")
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by content fingerprint: canonical doc = min
+    doc_id (first-occurrence semantics, urn_deduplicator.py:80-82 analog)."""
+    fp = fingerprints(spark, sf_dir)
+    return (
+        fp.groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .filter(F.col("dup_count") > 1)
+        .select("fp", "canonical_doc", "dup_count")
+    )
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-token shingles per document (0-based Spark array indexing)."""
+    # guard size>=3 BEFORE sequence(): Spark's sequence(0, n) with n<0
+    # would produce a descending range, not an empty array
+    return (
+        docs(spark, sf_dir)
+        .filter(F.size(F.split("text", " ")) >= 3)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(0, size(split(text,' ')) - 3),"
+                " i -> concat_ws(' ', split(text,' ')[i],"
+                " split(text,' ')[i+1], split(text,' ')[i+2]))"
+            ).alias("shingles"),
+        )
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-band MinHash signature per doc: mh_i = min(md5(salt_i || shingle))."""
+    sh = _shingles(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(salt), F.col("s")))).alias(f"mh{i + 1}")
+        for i, salt in enumerate(MINHASH_SALTS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidates: pairs sharing >= 2 of 4
+    bands; est_jaccard = matched_bands / 4.
+
+    Candidates come from 4 per-band equi-joins (union), then a group-by on
+    the pair — the standard LSH band->bucket join, no quadratic pass.
+    """
+    sig = minhash_signatures(spark, sf_dir)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    bands = None
+    for i in range(1, 5):
+        j = (
+            a.join(b, F.col(f"a.mh{i}") == F.col(f"b.mh{i}"))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.lit(i).alias("band"),
+            )
+        )
+        bands = j if bands is None else bands.unionByName(j)
+    return (
+        bands.distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("matched_bands"))
+        .filter(F.col("matched_bands") >= 2)
+        .select(
+            "doc_a",
+            "doc_b",
+            "matched_bands",
+            F.round(F.col("matched_bands") / 4.0, 2).alias("est_jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over LSH candidates (verify stage of the
+    near-dup pipeline): |A ∩ B| / |A ∪ B| on distinct 3-gram shingle sets,
+    computed only for pairs that share band 1 (blocking)."""
+    sh = (
+        _shingles(spark, sf_dir)
+        .select("doc_id", F.array_distinct("shingles").alias("sset"))
+        .withColumn("n", F.size("sset"))
+    )
+    sig = minhash_signatures(spark, sf_dir).select("doc_id", "mh1")
+    s = sh.join(sig, "doc_id")
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(b, F.col("a.mh1") == F.col("b.mh1")).filter(
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    inter = F.size(F.array_intersect(F.col("a.sset"), F.col("b.sset")))
+    union = F.col("a.n") + F.col("b.n") - inter
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(inter / union, 4).alias("jaccard"),
+    ).filter(F.col("jaccard") >= 0.8)
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document from md5-derived token bits.
+
+    bit_j(token) = jth bit of the md5 of the token; simhash bit j is the
+    majority vote weighted by token frequency.  Deterministic; kept
+    Spark-side only (bit-fiddling has no clean DuckDB twin -> driver
+    records the weaker rows-only check).
+    """
+    toks = docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    )
+    # token hash -> first 16 bits of md5 (as int via conv of first 4 hex)
+    h = toks.withColumn(
+        "bits", F.conv(F.substring(F.md5("t"), 1, 4), 16, 10).cast("long")
+    )
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(F.col("bits"), j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(16)
+    ]
+    votes = h.groupBy("doc_id").agg(*bit_cols)
+    sim = None
+    for j in range(16):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.cast("long").alias("simhash16"))

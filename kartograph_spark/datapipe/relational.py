@@ -1,0 +1,170 @@
+"""Relational operator coverage over the TPC-H-ish testdata tables.
+
+Each query instantiates an operator family from SURVEY.md §2 on the
+driver-provided tables so the DuckDB oracle can cross-check it:
+aggregations (A4/A7), broadcast dictionary joins (J4), anti-join
+validation shapes (J1/J2), window ordering / history tails (W3/W5),
+sessionization (gap windows), set intersection (U3), tumbling rollups
+(the batch analog of the streaming window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical groupBy rollup (A7 analog)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + top-N: customer revenue by nation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    j = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    # top-N via sort+limit (TakeOrderedAndProject — distributed partial
+    # top-k per partition, no single-partition global window); the rank
+    # window then runs on only 20 rows.
+    top = agg.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("rank").cast("long").alias("rank"),
+        "c_custkey", "c_name", "n_name", "revenue", "n_orders",
+    )
+
+
+def part_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dictionary join (J4 shape): lineitem enriched with the
+    small part dim, revenue per brand."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def broken_part_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 shape: 'edges' (lineitems) whose referenced 'node' is missing
+    from a filtered node set (parts with p_size >= 10) -> left anti join;
+    report grouped by orderkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    nodes = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 10).select("p_partkey")
+    broken = li.join(nodes, li.l_partkey == nodes.p_partkey, "left_anti")
+    return broken.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_broken"),
+        F.min("l_partkey").alias("min_partkey"),
+    )
+
+
+def orphan_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 shape: nodes with no qualifying edges — customers with no order
+    above 100k (anti join against a filtered edge set)."""
+    c = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000.0)
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+def last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 shape: conversation-history tail — last 3 events per user under
+    stable (ts, event_id) ordering (query.post.ts:93-97 analog)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", F.col("rn").cast("long").alias("rn"), "event_id", "event_type")
+    )
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (stateful-window analog done in batch):
+    new session when >30min between a user's events; sessions per user."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # fractional epoch seconds (microsecond precision) — matches DuckDB
+    # epoch(); NTZ needs the LTZ hop (session TZ is UTC) before unix_micros
+    epoch = F.unix_micros(F.col("ts").cast("timestamp_ltz")) / F.lit(1e6)
+    gap = epoch - F.lag(epoch).over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day window rollup (batch analog of the streaming
+    windowed agg): per (day, event_type) counts + value sums."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def purchase_click_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 shape: set intersection — users with both click and purchase."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clicks.intersect(buys)
+
+
+def order_priority_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 shape: type histogram with a validation-style predicate."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") != "F")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )

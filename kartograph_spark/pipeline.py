@@ -95,6 +95,31 @@ def run_mentions_stage(
     return spark.read.parquet(store.path("mentions")).drop("bucket")
 
 
+def build_triples(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    alias_dict: DataFrame,
+    cfg: PipelineConfig | None = None,
+    mentions: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Pure transformation composition (no store): returns (kept_triples,
+    broken_ref_report).  Used by run_pipeline and by in-memory callers
+    (__spark_entry__, bench)."""
+    cfg = cfg or PipelineConfig()
+    if mentions is None:
+        mentions = extract_mentions(transcripts)
+    canonical, _cmap = canonicalize_mentions(
+        mentions, alias_dict, cfg.confidence_threshold
+    )
+    raw = tr.mention_triples(canonical).unionByName(
+        tr.conversation_triples(transcripts)
+    )
+    deduped = tr.dedup_first_occurrence(raw)
+    resolved = tr.resolve_mixed_type_predicates(deduped)
+    encoded = tr.encode_final(resolved)
+    return val.split_broken_refs(encoded)
+
+
 def run_pipeline(
     spark: SparkSession,
     transcripts: DataFrame,
