@@ -1,0 +1,105 @@
+"""Per-round benchmark — prints ONE JSON line.
+
+Runs the headline operator queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the full KG
+pipeline (extract -> link -> canonicalize -> triples) on the seeded
+synthetic transcript corpus scaled to match, reporting per-query seconds
+and KG triples/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kartograph_spark.session import get_spark  # noqa: E402
+
+
+def _ensure_corpus(sf: float) -> str:
+    """Deterministic synthetic transcripts sized to the scale factor
+    (FIXTURES F5: sf0.1 -> 5000 conversations ~150k turns)."""
+    from kartograph_spark import synth
+
+    n_conv = max(200, int(50000 * sf))
+    d = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "data", f"bench_corpus_{n_conv}"
+    )
+    if not os.path.exists(os.path.join(d, "transcripts.parquet")):
+        synth.write_corpus(d, n_conv=n_conv, mean_turns=30)
+    return d
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+
+    spark = get_spark(
+        "kartograph-bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    headline = [
+        "kg_doc_mentions",
+        "kg_doc_triples",
+        "dedup_minhash_signatures",
+        "dedup_neardup_lsh",
+        "dedup_exact",
+        "sim_knn_topk",
+        "sim_ann_lsh",
+        "text_lang_quality",
+        "mm_media_features",
+        "rel_pricing_summary",
+        "rel_top_customers",
+        "rel_user_sessions",
+    ]
+    qs = entry_mod.queries()
+    per_q: dict[str, float] = {}
+    for name in headline:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        per_q[name] = round(time.time() - t0, 3)
+
+    # KG pipeline throughput on the synthetic transcript corpus
+    from kartograph_spark.pipeline import build_triples
+
+    corpus = _ensure_corpus(sf)
+    transcripts = spark.read.parquet(f"{corpus}/transcripts.parquet")
+    alias = spark.read.parquet(f"{corpus}/alias_dictionary.parquet")
+    n_turns = transcripts.count()
+    t0 = time.time()
+    kept, _ = build_triples(spark, transcripts, alias)
+    n_triples = kept.count()
+    kg_secs = round(time.time() - t0, 3)
+    per_q["kg_pipeline"] = kg_secs
+
+    total = round(sum(per_q.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_q,
+                "sf": sf,
+                "cpus": cpus,
+                "kg_turns": n_turns,
+                "kg_triples": n_triples,
+                "kg_triples_per_sec": round(n_triples / kg_secs, 1),
+                "kg_turns_per_sec": round(n_turns / kg_secs, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -83,6 +83,10 @@ def canonicalize_mentions(
     agent_deduplicator.py:344-378)."""
     norm = build_type_normalization(mentions)
     typed = apply_type_normalization(mentions, norm)
+    # typed feeds >=3 downstream actions (pair gen, CC, final rewrite) —
+    # persist so the extraction UDF doesn't recompute per action
+    # (MEMORY_AND_DISK: cluster-safe, unlike localCheckpoint)
+    typed = typed.persist()
 
     pairs = coreference_pairs(typed, alias_dict, confidence_threshold)
     preferred = alias_dict.select(

@@ -24,6 +24,14 @@ from pyspark.sql import functions as F
 
 MAX_ROUNDS = 25
 
+#: below this many pairs, transitive closure runs as a driver-side
+#: union-find (one collect) instead of the iterative distributed loop —
+#: the same size-based strategy choice AQE makes for broadcast joins.
+#: Coreference pair sets are entity-vocabulary-sized, so even 10^12-turn
+#: corpora typically stay under this; the distributed path remains for
+#: adversarial cases (celebrity components).
+DRIVER_UNION_FIND_MAX = 2_000_000
+
 
 def _large_star(edges: DataFrame) -> DataFrame:
     sym = edges.union(
@@ -63,7 +71,32 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def connected_components(pairs: DataFrame) -> DataFrame:
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Small-input fast path: path-halving union-find on collected pairs.
+    One collect + one createDataFrame — replaces ~2 log-rounds x 4 jobs of
+    driver-coordinated latency for vocabulary-sized pair sets."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in edges.collect():
+        ra, rb = find(r["u"]), find(r["v"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(m, find(m)) for m in list(parent)]
+    return edges.sparkSession.createDataFrame(
+        rows, "member string, component string"
+    )
+
+
+def connected_components(
+    pairs: DataFrame, max_driver_edges: int | None = None
+) -> DataFrame:
     """pairs(src, dst) -> labels(member, component) with component = min id.
 
     Includes a self row (component, component) for each component root, so
@@ -75,8 +108,12 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if edges.isEmpty():
+    n_edges = edges.count()
+    if n_edges == 0:
         return pairs.sparkSession.createDataFrame([], "member string, component string")
+    cap = DRIVER_UNION_FIND_MAX if max_driver_edges is None else max_driver_edges
+    if n_edges <= cap:
+        return _driver_union_find(edges)
 
     sig = _signature(edges)
     for _ in range(MAX_ROUNDS):
@@ -94,7 +131,11 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     return members.union(roots).distinct()
 
 
-def canonical_map(pairs: DataFrame, preferred: DataFrame | None = None) -> DataFrame:
+def canonical_map(
+    pairs: DataFrame,
+    preferred: DataFrame | None = None,
+    max_driver_edges: int | None = None,
+) -> DataFrame:
     """Coreference pairs -> rewrite map (member_urn, canonical_urn).
 
     The representative of each component is the minimum URN, except that
@@ -104,7 +145,7 @@ def canonical_map(pairs: DataFrame, preferred: DataFrame | None = None) -> DataF
     (agent_deduplicator.py:344-378).  Identity rows are filtered out, so
     the result is small (only actually-merged entities) and broadcastable.
     """
-    labels = connected_components(pairs)
+    labels = connected_components(pairs, max_driver_edges=max_driver_edges)
     if labels.isEmpty():
         return labels.sparkSession.createDataFrame(
             [], "member_urn string, canonical_urn string"

@@ -107,7 +107,10 @@ def build_triples(
     (__spark_entry__, bench)."""
     cfg = cfg or PipelineConfig()
     if mentions is None:
-        mentions = extract_mentions(transcripts)
+        # persist: the mention frame feeds type-norm, pair generation and
+        # the canonical rewrite — without this the extraction UDF re-runs
+        # once per downstream action
+        mentions = extract_mentions(transcripts).persist()
     canonical, _cmap = canonicalize_mentions(
         mentions, alias_dict, cfg.confidence_threshold
     )
@@ -116,7 +119,9 @@ def build_triples(
     )
     deduped = tr.dedup_first_occurrence(raw)
     resolved = tr.resolve_mixed_type_predicates(deduped)
-    encoded = tr.encode_final(resolved)
+    # persist: split_broken_refs fans out into 3 branches (scalars,
+    # kept refs, node set) that would each recompute the dedup shuffle
+    encoded = tr.encode_final(resolved).persist()
     return val.split_broken_refs(encoded)
 
 

@@ -121,6 +121,10 @@ def _build_text_pool(rng: np.random.Generator, n: int = 3000) -> list[str]:
         "It uses {tool} and also uses {tool2}; both maintained by the {team} team.",
         "Runbook {url} says the job is written in {lang} and backed by {db}.",
         "Alert in {slack}: <{urn}> degraded, contact {email}.",
+        # alias-surface verb mentions: derived Tool URNs that the alias
+        # dictionary re-links to their canonical entities (J7 + CC fixtures)
+        "Billing flow uses Payment-API for settlement.",
+        "The ingest job is deployed via K8s and uses Payment_Service.",
     ]
     while len(pool) < n:
         t = templates[int(rng.integers(0, len(templates)))]
@@ -203,6 +207,8 @@ def gen_alias_dictionary(seed: int = SEED) -> pd.DataFrame:
     # colliding blocking key
     rows.append(("gateway", "urn:Application:api-gateway", "Application", "API Gateway"))
     rows.append(("gateway", "urn:Service:edge-gateway", "Service", "Edge Gateway"))
+    # hot-entity alias (K8s -> Kubernetes)
+    rows.append(("k8s", "urn:Tool:kubernetes", "Tool", "Kubernetes"))
     # tool vocabulary identity rows (incl. hot entity kubernetes)
     for t in TOOLS:
         rows.append((t.lower(), f"urn:Tool:{t.lower()}", "Tool", t))

@@ -43,3 +43,13 @@ def test_canonical_map_prefers_dictionary(spark):
 def test_empty_pairs(spark):
     cmap = canonical_map(_pairs(spark, []))
     assert cmap.count() == 0
+
+
+def test_distributed_path_matches_driver_path(spark):
+    rows = [(f"u{i:02d}", f"u{i + 1:02d}") for i in range(0, 30, 2)] + [
+        ("u01", "u02"),
+        ("u15", "u16"),
+    ]
+    dist = connected_components(_pairs(spark, rows), max_driver_edges=0)
+    drv = connected_components(_pairs(spark, rows))
+    assert {tuple(r) for r in dist.collect()} == {tuple(r) for r in drv.collect()}
