@@ -71,10 +71,9 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def _driver_union_find(edges: DataFrame) -> DataFrame:
-    """Small-input fast path: path-halving union-find on collected pairs.
-    One collect + one createDataFrame — replaces ~2 log-rounds x 4 jobs of
-    driver-coordinated latency for vocabulary-sized pair sets."""
+def _union_find(edge_rows) -> dict[str, str]:
+    """Path-halving union-find over collected (u, v) rows; returns the
+    parent forest (callers run find() for full compression)."""
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -84,14 +83,36 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for r in edges.collect():
+    for r in edge_rows:
         ra, rb = find(r["u"]), find(r["v"])
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    rows = [(m, find(m)) for m in list(parent)]
-    return edges.sparkSession.createDataFrame(
-        rows, "member string, component string"
+    return parent
+
+
+def _uf_find(parent: dict[str, str], x: str) -> str:
+    while parent[x] != x:
+        parent[x] = parent[parent[x]]
+        x = parent[x]
+    return x
+
+
+def _collect_if_small(pairs: DataFrame, cap: int):
+    """Size-probe: count the pair set, collect it when it fits the driver
+    (None otherwise).  persist makes the count+collect pair one upstream
+    computation; NOT limit().collect() — Spark's incremental limit
+    escalation would re-run the upstream stages several times."""
+    edges = (
+        pairs.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .persist()
     )
+    try:
+        if edges.count() > cap:
+            return None
+        return edges.collect()
+    finally:
+        edges.unpersist()
 
 
 def connected_components(
@@ -102,19 +123,21 @@ def connected_components(
     Includes a self row (component, component) for each component root, so
     every node seen in ``pairs`` appears exactly once in the output.
     """
+    cap = DRIVER_UNION_FIND_MAX if max_driver_edges is None else max_driver_edges
+    small = _collect_if_small(pairs, cap)
+    if small is not None:
+        parent = _union_find(small)
+        rows = [(m, _uf_find(parent, m)) for m in list(parent)]
+        return pairs.sparkSession.createDataFrame(
+            rows, "member string, component string"
+        )
+
     edges = (
         pairs.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_edges = edges.count()
-    if n_edges == 0:
-        return pairs.sparkSession.createDataFrame([], "member string, component string")
-    cap = DRIVER_UNION_FIND_MAX if max_driver_edges is None else max_driver_edges
-    if n_edges <= cap:
-        return _driver_union_find(edges)
-
     sig = _signature(edges)
     for _ in range(MAX_ROUNDS):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
@@ -144,12 +167,38 @@ def canonical_map(
     primary_urn taking precedence inside a duplicate group
     (agent_deduplicator.py:344-378).  Identity rows are filtered out, so
     the result is small (only actually-merged entities) and broadcastable.
+
+    Fast path: when the pair set fits in the driver (entity-vocabulary-
+    sized — the normal case even at 10^12 turns) the whole map is computed
+    in 2 jobs (edges collect + preferred collect); the distributed path
+    with the reps groupBy/join remains for adversarial pair sets.
     """
-    labels = connected_components(pairs, max_driver_edges=max_driver_edges)
-    if labels.isEmpty():
-        return labels.sparkSession.createDataFrame(
-            [], "member_urn string, canonical_urn string"
+    cap = DRIVER_UNION_FIND_MAX if max_driver_edges is None else max_driver_edges
+    small = _collect_if_small(pairs, cap)
+    if small is not None:
+        spark = pairs.sparkSession
+        if not small:
+            return spark.createDataFrame(
+                [], "member_urn string, canonical_urn string"
+            )
+        parent = _union_find(small)
+        pref = (
+            {r["urn"] for r in preferred.collect()}
+            if preferred is not None
+            else set()
         )
+        comp: dict[str, list[str]] = {}
+        for m in parent:
+            comp.setdefault(_uf_find(parent, m), []).append(m)
+        out: list[tuple[str, str]] = []
+        for members in comp.values():
+            canon = min((m not in pref, m) for m in members)[1]
+            out.extend((m, canon) for m in members if m != canon)
+        return spark.createDataFrame(
+            out, "member_urn string, canonical_urn string"
+        )
+
+    labels = connected_components(pairs, max_driver_edges=max_driver_edges)
     if preferred is not None:
         pref = preferred.select(F.col("urn").alias("member"), F.lit(0).alias("tier"))
         labels = labels.join(F.broadcast(pref), "member", "left").withColumn(

@@ -21,7 +21,15 @@ STOPWORDS = ("the", "a", "of")
 
 
 def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """documents scan with an under-split guard: text operators do heavy
+    per-row work (regex, shingling, hashing), so a small single-file scan
+    must not serialize them onto one task.  On a real many-file corpus the
+    scan already yields >= cores splits and this is a no-op."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < target:
+        d = d.repartition(target)
+    return d
 
 
 def mentions(spark: SparkSession, sf_dir: str) -> DataFrame:

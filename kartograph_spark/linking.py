@@ -47,10 +47,11 @@ def link_pairs(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
     Broadcast hash join on the blocking key; kind='urn' mentions excluded
     (exact-URN precedence).
     """
-    cand = (
-        mentions.filter(F.col("kind") != "urn")
-        .select(F.col("urn"), alias_norm_col(F.col("name")).alias("alias_norm"))
-        .dropDuplicates(["urn", "alias_norm"])
+    # no pre-join dedupe: the broadcast join is map-side, so joining the
+    # raw mention stream and deduping the (small) pair output afterwards
+    # costs one shuffle instead of two
+    cand = mentions.filter(F.col("kind") != "urn").select(
+        F.col("urn"), alias_norm_col(F.col("name")).alias("alias_norm")
     )
     hits = cand.join(F.broadcast(alias_dict), "alias_norm", "inner")
     return (
@@ -73,22 +74,22 @@ def same_name_pairs(mentions: DataFrame) -> DataFrame:
     minimum URN of each (key, type) group, so group size k yields k-1
     pairs — no quadratic blow-up on hot keys.
     """
-    keyed = (
+    # single map-side-combinable aggregation (collect_set dedupes and the
+    # sorted head is the group minimum) — replaces the dropDuplicates +
+    # window pair of shuffles; group size is bounded by the distinct-URN
+    # vocabulary per key, never the mention count
+    grouped = (
         mentions.select(
             alias_norm_col(F.col("name")).alias("bkey"),
             F.col("entity_type"),
             F.col("urn"),
         )
-        .dropDuplicates(["bkey", "entity_type", "urn"])
+        .groupBy("bkey", "entity_type")
+        .agg(F.sort_array(F.collect_set("urn")).alias("urns"))
+        .filter(F.size("urns") > 1)
     )
-    w = Window.partitionBy("bkey", "entity_type")
-    star = keyed.withColumn("min_urn", F.min("urn").over(w))
-    return (
-        star.filter(F.col("urn") != F.col("min_urn"))
-        .select(
-            F.col("urn").alias("src"),
-            F.col("min_urn").alias("dst"),
-            F.lit(0.9).alias("confidence"),
-        )
-        .dropDuplicates(["src", "dst"])
+    return grouped.select(
+        F.explode(F.expr("slice(urns, 2, size(urns) - 1)")).alias("src"),
+        F.col("urns")[0].alias("dst"),
+        F.lit(0.9).alias("confidence"),
     )

@@ -48,6 +48,28 @@ def bucket_col(n_buckets: int):
     return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
 
 
+def ensure_parallelism(
+    spark: SparkSession, df: DataFrame, salt_turns: int
+) -> DataFrame:
+    """Guard against under-split inputs (few files / few row groups).
+
+    On a real 100 TB table the scan itself yields thousands of splits and
+    this is a no-op — we never pay an unconditional corpus shuffle.  When
+    the scan has fewer partitions than cores (single-file fixtures, tiny
+    extracts), repartition by (conv_id, turn-range): conversation affinity
+    for the window stage plus the long-conversation salt (C2 analog) so a
+    10^6-turn conversation doesn't pin one task.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(
+        target,
+        F.col("conv_id"),
+        (F.col("turn_idx") / F.lit(salt_turns)).cast("int"),
+    )
+
+
 def run_mentions_stage(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -63,14 +85,11 @@ def run_mentions_stage(
         sub = transcripts.withColumn("bucket", bucket_col(cfg.n_buckets))
         if done:
             sub = sub.filter(F.col("bucket").isin(pending))
-        # Long-conversation salt (chunk-split analog): repartition by
-        # (conv_id, turn-range) so a 10^6-turn conversation doesn't pin one
-        # task; extraction is per-turn so splitting is semantics-free.
-        sub = sub.repartition(
-            max(spark.sparkContext.defaultParallelism, cfg.n_buckets),
-            F.col("conv_id"),
-            (F.col("turn_idx") / F.lit(cfg.salt_turns)).cast("int"),
-        )
+        # Long-conversation salt (chunk-split analog): (conv_id, turn-range)
+        # repartition so a 10^6-turn conversation doesn't pin one task —
+        # applied only when the scan is under-split (extraction is per-turn,
+        # so splitting is semantics-free and a well-split scan needs none).
+        sub = ensure_parallelism(spark, sub, cfg.salt_turns)
         mentions = extract_mentions(sub).withColumn(
             "bucket", bucket_col(cfg.n_buckets)
         )
@@ -106,6 +125,7 @@ def build_triples(
     broken_ref_report).  Used by run_pipeline and by in-memory callers
     (__spark_entry__, bench)."""
     cfg = cfg or PipelineConfig()
+    transcripts = ensure_parallelism(spark, transcripts, cfg.salt_turns)
     if mentions is None:
         # persist: the mention frame feeds type-norm, pair generation and
         # the canonical rewrite — without this the extraction UDF re-runs
@@ -137,6 +157,7 @@ def run_pipeline(
     store = TableStore(spark, out_dir)
     t0 = time.time()
 
+    transcripts = ensure_parallelism(spark, transcripts, cfg.salt_turns)
     mentions = run_mentions_stage(spark, transcripts, store, cfg)
     canonical, cmap = canonicalize_mentions(
         mentions, alias_dict, cfg.confidence_threshold

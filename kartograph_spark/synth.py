@@ -241,6 +241,13 @@ def write_corpus(out_dir: str, n_conv: int = 200, seed: int = SEED, **kw) -> dic
     os.makedirs(out_dir, exist_ok=True)
     tr = gen_transcripts(n_conv=n_conv, seed=seed, **kw)
     al = gen_alias_dictionary(seed=seed)
-    tr.to_parquet(os.path.join(out_dir, "transcripts.parquet"), index=False)
+    # Small row groups: a single parquet file still yields many scan splits
+    # (Spark assigns row groups to byte-range splits), mirroring the
+    # many-file layout a real 100 TB Iceberg table has.
+    tr.to_parquet(
+        os.path.join(out_dir, "transcripts.parquet"),
+        index=False,
+        row_group_size=8192,
+    )
     al.to_parquet(os.path.join(out_dir, "alias_dictionary.parquet"), index=False)
     return {"turns": len(tr), "conversations": tr["conv_id"].nunique(), "aliases": len(al)}

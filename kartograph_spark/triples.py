@@ -158,11 +158,15 @@ def conversation_triples(transcripts: DataFrame) -> DataFrame:
             "bool",
         ),
     ]
+    # try_divide: single-turn conversations have no gap -> NULL -> row
+    # dropped below (ANSI mode would otherwise fail the whole job)
     gap = row(
         "avg_gap_secs",
         F.round(
-            (F.unix_timestamp("max_ts") - F.unix_timestamp("min_ts"))
-            / (F.col("turn_count") - 1),
+            F.try_divide(
+                F.unix_timestamp("max_ts") - F.unix_timestamp("min_ts"),
+                F.col("turn_count") - 1,
+            ),
             2,
         ).cast("string"),
         "float",
