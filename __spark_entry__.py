@@ -14,6 +14,7 @@ import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from kartograph_spark.datapipe import dedup, multimodal, relational, similarity, textstats
 from kartograph_spark.datapipe.textstats import VOCAB_RE
@@ -95,12 +96,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_neardup_lsh": dedup.near_dup_pairs,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_simhash": dedup.simhash,
+        "dedup_embedding_cosine": dedup.embedding_neardup,
         # similarity search
         "sim_cosine_neighbors": similarity.cosine_neighbors,
         "sim_knn_topk": similarity.knn_topk,
         "sim_ann_lsh": similarity.ann_lsh,
         # multimodal plumbing
         "mm_media_features": multimodal.media_features,
+        "mm_resize_meta": lambda spark, sf: multimodal.resize_media(
+            multimodal.as_media_table(spark, sf)
+        ).drop("payload"),
+        "mm_frame_sample": lambda spark, sf: multimodal.sample_frames(
+            multimodal.as_media_table(spark, sf)
+        ).select(
+            "doc_id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            "frame_offset",
+            F.octet_length("frame").cast("long").alias("frame_bytes"),
+        ),
         # relational operator coverage
         "rel_pricing_summary": relational.pricing_summary,
         "rel_top_customers": relational.top_customers,
@@ -263,6 +276,23 @@ SELECT * FROM (
     FROM s a JOIN s b ON a.mh1 = b.mh1 AND a.doc_id < b.doc_id
 ) WHERE jaccard >= 0.8
 """,
+        "dedup_embedding_cosine": "WITH "
+        + _COSINE_CTE
+        + """
+, b AS (
+    SELECT vec_id, emb,
+           (emb[1] > 0)::INT * 1 + (emb[2] > 0)::INT * 2 + (emb[3] > 0)::INT * 4
+         + (emb[4] > 0)::INT * 8 + (emb[5] > 0)::INT * 16 + (emb[6] > 0)::INT * 32
+         + (emb[7] > 0)::INT * 64 + (emb[8] > 0)::INT * 128 AS bucket
+    FROM e
+)
+SELECT * FROM (
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+           round(list_dot_product(a.emb, c.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(c.emb, c.emb))), 4) AS cosine
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+) WHERE cosine >= 0.35
+""",
         "sim_cosine_neighbors": "WITH "
         + _COSINE_CTE
         + """
@@ -317,6 +347,28 @@ SELECT doc_id,
        md5(text) AS sig,
        CAST(octet_length(encode(text)) // 64 + 1 AS INTEGER) AS n_frames
 FROM documents
+""",
+        "mm_resize_meta": """
+SELECT doc_id,
+       CAST(doc_id % 640 + 1 AS INTEGER) AS width,
+       CAST(doc_id % 480 + 1 AS INTEGER) AS height,
+       CAST(floor((doc_id % 640 + 1)
+            * least(1.0, 224.0 / greatest(doc_id % 640 + 1, doc_id % 480 + 1))) AS INTEGER) AS out_width,
+       CAST(floor((doc_id % 480 + 1)
+            * least(1.0, 224.0 / greatest(doc_id % 640 + 1, doc_id % 480 + 1))) AS INTEGER) AS out_height
+FROM documents
+""",
+        "mm_frame_sample": """
+WITH m AS (
+    SELECT doc_id, octet_length(encode(text)) AS nb,
+           least(8, greatest(1, octet_length(encode(text)) // 64)) AS n
+    FROM documents
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS frame_idx,
+       CAST(i * 64 AS BIGINT) AS frame_offset,
+       CAST(least(64, nb - i * 64) AS BIGINT) AS frame_bytes
+FROM (SELECT doc_id, nb, unnest(generate_series(0, n - 1)) AS i FROM m)
 """,
         "rel_pricing_summary": """
 SELECT l_returnflag, l_linestatus,

@@ -82,11 +82,10 @@ def canonicalize_mentions(
     dictionary canonical won (J4 coalesce,
     agent_deduplicator.py:344-378)."""
     norm = build_type_normalization(mentions)
+    # typed is NOT persisted: it is a map-side broadcast join over the
+    # (persisted) mention frame, so recomputing it for pair generation and
+    # for the final rewrite is cheaper than a corpus-sized cache write
     typed = apply_type_normalization(mentions, norm)
-    # typed feeds >=3 downstream actions (pair gen, CC, final rewrite) —
-    # persist so the extraction UDF doesn't recompute per action
-    # (MEMORY_AND_DISK: cluster-safe, unlike localCheckpoint)
-    typed = typed.persist()
 
     pairs = coreference_pairs(typed, alias_dict, confidence_threshold)
     preferred = alias_dict.select(

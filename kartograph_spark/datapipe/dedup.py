@@ -131,6 +131,32 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("jaccard") >= 0.8)
 
 
+def embedding_neardup(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.35
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over the ``embeddings`` table.
+
+    Candidates are restricted to the same sign-bit LSH bucket (equi-join on
+    the bucket key — at corpus scale the shuffle is keyed and bounded, no
+    quadratic pass), then exact cosine >= threshold.  The threshold is a
+    parameter; 0.35 is tuned to the synthetic corpus's similarity range.
+    """
+    from kartograph_spark.datapipe.similarity import _bucket, _cosine, embeddings
+
+    e = embeddings(spark, sf_dir).withColumn("bucket", _bucket(F.col("emb")))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), "bucket"
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), "bucket"
+    )
+    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = _cosine(F.col("emb_a"), F.col("emb_b"))
+    return pairs.select(
+        "vec_a", "vec_b", F.round(cos, 4).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
+
+
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document from md5-derived token bits.
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -92,3 +93,86 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end: wrap -> extract; used by __spark_entry__ with a DuckDB
     oracle (octet_length + md5 reproduce the fake extractor exactly)."""
     return extract_features(as_media_table(spark, sf_dir))
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def _resize_batches(target: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # aspect-preserving target box; the pixel resample itself is the
+            # stubbed codec step (decode_image) — payload passes through so
+            # the Spark-side schema/batch shape is the production one.
+            # floor (not round): exact across engines, no half-even skew.
+            scale = (target / pdf[["width", "height"]].max(axis=1)).clip(upper=1.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "out_width": np.floor(pdf["width"] * scale).astype("int32"),
+                    "out_height": np.floor(pdf["height"] * scale).astype("int32"),
+                    "payload": pdf["payload"],
+                }
+            )
+
+    return gen
+
+
+def resize_media(media: DataFrame, target: int = 224) -> DataFrame:
+    """Resize planning over the binary column (aspect-preserving fit into
+    ``target``x``target``): real metadata math, stubbed pixel codec."""
+    return media.select(
+        "doc_id", "width", "height", "payload"
+    ).mapInPandas(_resize_batches(target), schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_offset", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def _frame_batches(stride: int, max_frames: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = min(max_frames, max(1, len(payload) // stride))
+                for i in range(n):
+                    off = i * stride
+                    rows.append((doc_id, i, off, bytes(payload[off : off + stride])))
+            out = pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_offset", "frame"]
+            )
+            out["frame_idx"] = out["frame_idx"].astype("int32")
+            out["frame_offset"] = out["frame_offset"].astype("int64")
+            yield out
+
+    return gen
+
+
+def sample_frames(
+    media: DataFrame, stride: int = 64, max_frames: int = 8
+) -> DataFrame:
+    """UDTF-shaped frame sampling: one binary payload -> up to
+    ``max_frames`` fixed-stride frames (the video analog; byte-slice
+    windows stand in for the stubbed codec).  Output is one row per frame,
+    ready for a per-frame feature UDF downstream."""
+    return media.select("doc_id", "payload").mapInPandas(
+        _frame_batches(stride, max_frames), schema=FRAME_SCHEMA
+    )

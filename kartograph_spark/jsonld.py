@@ -1,0 +1,152 @@
+"""JSON-LD interchange + N-Quads export (sinks/sources S4/S5/S6).
+
+Reference formats:
+- JSON-LD document ``{"@context": {...}, "@graph": [entity...]}`` with
+  entities ``{"@id": urn, "@type": type, "name": ..., <props>}`` and refs
+  as ``{"@id": urn}`` values
+  (/root/reference/extraction/kg_extractor/output/jsonld.py:27-131,
+  docs/PROCESS.md:4299-4370).
+- N-Quads lines ``<subj> <pred> <obj|"literal"> .``
+  (/root/reference/extraction/load_dgraph.py:273-349).
+
+Spark-first shapes:
+- ``write_jsonld_graph`` — distributed sink: one JSON line per entity
+  (``df.write.json``), with the @context in a sidecar; scales to any
+  graph size.  ``to_jsonld_document`` builds the reference's single-file
+  document (driver-side collect — for vocabulary-sized graphs only).
+- ``load_jsonld_document`` — ``spark.read.json(multiLine)`` + explode of
+  the @graph array.
+- ``write_nquads`` — ``to_nquads`` rendering + ``df.write.text``
+  (replaces the reference's `dgraph live` subprocess).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kartograph_spark.triples import to_nquads
+
+#: default @context (output/jsonld.py:26-41 shape)
+DEFAULT_CONTEXT = {
+    "@vocab": "urn:kartograph:",
+    "name": "urn:kartograph:name",
+}
+
+
+def entity_frame(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """graph_nodes + graph_edges -> one row per entity with its outbound
+    refs grouped per predicate: (urn, type, name, refs: map<pred,
+    array<urn>>) — the relational shape of a JSON-LD entity."""
+    grouped = (
+        edges.groupBy(F.col("subj").alias("urn"), "pred")
+        .agg(F.sort_array(F.collect_set("obj")).alias("targets"))
+        .groupBy("urn")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("pred", "targets")))
+            ).alias("refs")
+        )
+    )
+    return nodes.join(grouped, "urn", "left").select(
+        F.col("urn"), F.col("type"), F.col("name"), F.col("refs")
+    )
+
+
+def _entity_json(df: DataFrame) -> DataFrame:
+    """One JSON-LD entity object per row, as a single string column."""
+    refs_json = F.when(
+        F.col("refs").isNotNull(),
+        F.to_json(
+            F.transform_values(
+                F.col("refs"),
+                lambda _p, targets: F.transform(
+                    targets, lambda t: F.struct(t.alias("@id"))
+                ),
+            )
+        ),
+    )
+    base = F.to_json(
+        F.struct(
+            F.col("urn").alias("@id"),
+            F.col("type").alias("@type"),
+            F.col("name").alias("name"),
+        )
+    )
+    # splice the refs map into the entity object (string-level merge keeps
+    # everything JVM-side; refs_json is a JSON object or NULL)
+    return df.select(
+        F.when(
+            refs_json.isNotNull(),
+            F.concat(
+                F.regexp_replace(base, r"\}$", ","),
+                F.regexp_replace(refs_json, r"^\{", ""),
+            ),
+        )
+        .otherwise(base)
+        .alias("entity_json")
+    )
+
+
+def write_jsonld_graph(
+    nodes: DataFrame, edges: DataFrame, out_dir: str, context: dict | None = None
+) -> None:
+    """Distributed JSON-LD sink: JSON-lines of entity objects + @context
+    sidecar (S5 at scale; the reference's single-document format is the
+    driver-side ``to_jsonld_document`` below)."""
+    ents = _entity_json(entity_frame(nodes, edges))
+    ents.select(F.col("entity_json").alias("value")).write.mode(
+        "overwrite"
+    ).text(os.path.join(out_dir, "graph_jsonl"))
+    with open(os.path.join(out_dir, "context.json"), "w") as f:
+        json.dump({"@context": context or DEFAULT_CONTEXT}, f, indent=2)
+
+
+def to_jsonld_document(
+    nodes: DataFrame, edges: DataFrame, context: dict | None = None
+) -> dict:
+    """The reference's single-document shape (collect — small graphs)."""
+    graph = []
+    for r in entity_frame(nodes, edges).orderBy("urn").collect():
+        ent: dict = {"@id": r["urn"], "@type": r["type"]}
+        if r["name"] is not None:
+            ent["name"] = r["name"]
+        if r["refs"]:
+            for pred in sorted(r["refs"]):
+                targets = [{"@id": t} for t in r["refs"][pred]]
+                ent[pred] = targets[0] if len(targets) == 1 else targets
+        graph.append(ent)
+    return {"@context": context or DEFAULT_CONTEXT, "@graph": graph}
+
+
+def save_jsonld_document(
+    nodes: DataFrame, edges: DataFrame, path: str, context: dict | None = None
+) -> str:
+    doc = to_jsonld_document(nodes, edges, context)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=2)
+    return path
+
+
+def load_jsonld_document(spark: SparkSession, path: str) -> DataFrame:
+    """S4: single-document JSON-LD -> exploded entity DataFrame
+    (@id/@type/name plus the raw entity struct for property access)."""
+    doc = spark.read.option("multiLine", "true").json(path)
+    ents = doc.select(F.explode(F.col("`@graph`")).alias("e"))
+    return ents.select(
+        F.col("e.`@id`").alias("urn"),
+        F.col("e.`@type`").alias("type"),
+        F.col("e.name").alias("name"),
+        F.col("e").alias("entity"),
+    )
+
+
+def write_nquads(triples: DataFrame, out_dir: str) -> None:
+    """S6: N-Quads text export (load_dgraph.py:273-349 line format)."""
+    to_nquads(triples).withColumnRenamed("nquad", "value").write.mode(
+        "overwrite"
+    ).text(out_dir)

@@ -47,11 +47,14 @@ def link_pairs(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
     Broadcast hash join on the blocking key; kind='urn' mentions excluded
     (exact-URN precedence).
     """
-    # no pre-join dedupe: the broadcast join is map-side, so joining the
-    # raw mention stream and deduping the (small) pair output afterwards
-    # costs one shuffle instead of two
-    cand = mentions.filter(F.col("kind") != "urn").select(
-        F.col("urn"), alias_norm_col(F.col("name")).alias("alias_norm")
+    # pre-join dedupe: dropDuplicates runs a partial aggregation before
+    # the shuffle, collapsing the corpus-sized mention stream to the
+    # (urn, key) vocabulary per map task — so the broadcast join and the
+    # final pair dedupe only ever see vocabulary-sized input
+    cand = (
+        mentions.filter(F.col("kind") != "urn")
+        .select(F.col("urn"), alias_norm_col(F.col("name")).alias("alias_norm"))
+        .dropDuplicates(["urn", "alias_norm"])
     )
     hits = cand.join(F.broadcast(alias_dict), "alias_norm", "inner")
     return (

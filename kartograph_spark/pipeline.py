@@ -60,11 +60,13 @@ def ensure_parallelism(
     for the window stage plus the long-conversation salt (C2 analog) so a
     10^6-turn conversation doesn't pin one task.
     """
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    cores = spark.sparkContext.defaultParallelism
+    # 4x cores: tasks pack into even waves with small stragglers — a scan
+    # with barely >= cores splits leaves cores idle at every wave tail
+    if df.rdd.getNumPartitions() >= 4 * cores:
         return df
     return df.repartition(
-        target,
+        4 * cores,
         F.col("conv_id"),
         (F.col("turn_idx") / F.lit(salt_turns)).cast("int"),
     )
@@ -125,23 +127,34 @@ def build_triples(
     broken_ref_report).  Used by run_pipeline and by in-memory callers
     (__spark_entry__, bench)."""
     cfg = cfg or PipelineConfig()
-    transcripts = ensure_parallelism(spark, transcripts, cfg.salt_turns)
     if mentions is None:
         # persist: the mention frame feeds type-norm, pair generation and
         # the canonical rewrite — without this the extraction UDF re-runs
-        # once per downstream action
-        mentions = extract_mentions(transcripts).persist()
+        # once per downstream action.  Only the UDF input needs the
+        # under-split guard; conversation_triples is a partial aggregation
+        # that parallelizes off the raw scan without a repartition shuffle.
+        salted = ensure_parallelism(spark, transcripts, cfg.salt_turns)
+        # surface is a debugging column no downstream stage reads — drop it
+        # before the cache so the corpus-sized persist carries less data
+        mentions = extract_mentions(salted).drop("surface").persist()
     canonical, _cmap = canonicalize_mentions(
         mentions, alias_dict, cfg.confidence_threshold
     )
     raw = tr.mention_triples(canonical).unionByName(
         tr.conversation_triples(transcripts)
     )
-    deduped = tr.dedup_first_occurrence(raw)
+    # persist the deduped triples, not the encoded ones: the uid-predicate
+    # broadcast (resolve, a global second pass) and the validation fan-out
+    # (scalars / kept refs / node set) would otherwise each replay the
+    # extraction->rewrite->explode map work and the dedup shuffle; the
+    # downstream encode/filters are cheap column maps over the cache.
+    # count() materializes the cache EAGERLY: AQE submits the downstream
+    # branches concurrently, and a lazily-persisted frame makes each racing
+    # branch compute the full dedup independently (observed 6x recompute).
+    deduped = tr.dedup_first_occurrence(raw).persist()
+    deduped.count()
     resolved = tr.resolve_mixed_type_predicates(deduped)
-    # persist: split_broken_refs fans out into 3 branches (scalars,
-    # kept refs, node set) that would each recompute the dedup shuffle
-    encoded = tr.encode_final(resolved).persist()
+    encoded = tr.encode_final(resolved)
     return val.split_broken_refs(encoded)
 
 
@@ -157,7 +170,6 @@ def run_pipeline(
     store = TableStore(spark, out_dir)
     t0 = time.time()
 
-    transcripts = ensure_parallelism(spark, transcripts, cfg.salt_turns)
     mentions = run_mentions_stage(spark, transcripts, store, cfg)
     canonical, cmap = canonicalize_mentions(
         mentions, alias_dict, cfg.confidence_threshold

@@ -44,7 +44,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # 32 MB scan splits: a scan must never be narrower than the core
+        # count just because files are large relative to the corpus (the
+        # single-digit-GB local case); on a 100 TB table either value
+        # yields thousands of splits, so the smaller one costs nothing.
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

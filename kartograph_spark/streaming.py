@@ -1,0 +1,125 @@
+"""Structured Streaming surfaces for incremental KG construction.
+
+The reference is batch-only (SURVEY.md §2.12) — its closest analog is the
+incremental per-N-chunks dedup loop (orchestrator.py:849-892).  These
+operators are the Spark-native incremental path over the same semantics:
+
+- ``stream_mentions``: readStream over a growing transcripts directory ->
+  the SAME vectorized extraction UDF as the batch path -> parquet sink.
+  ``Trigger.AvailableNow`` + the file-source checkpoint give exactly the
+  reference's resume contract (process everything new, skip everything
+  already done, idempotent across restarts) — the file-source ledger plays
+  the role of the batch pipeline's _lineage table (J8 anti-join).  On an
+  Iceberg deployment the same code runs over incremental snapshots.
+- ``stream_mention_counts``: event-time tumbling-window mention counts
+  with a watermark for late turns — the streaming analog of the A4/A5
+  aggregations, all JVM-side expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from kartograph_spark.extraction.mentions import extract_mentions
+
+#: input contract (input_hint): the transcripts table schema
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+#: E1 regex, JVM-side mirror of rules.URN_MENTION_RE for the windowed agg
+_URN_RE = "<urn:([^:>]+):([^>]+)>"
+
+
+def read_transcript_stream(spark: SparkSession, input_path: str) -> DataFrame:
+    """File-source stream over a transcripts directory (parquet files are
+    the micro-batch unit; an Iceberg table source drops in unchanged)."""
+    return spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_path)
+
+
+def stream_mentions(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+) -> StreamingQuery:
+    """Incremental mention extraction: new transcript files -> mention rows.
+
+    Returns the started query (AvailableNow: drains everything new, then
+    stops).  Re-running with the same checkpoint skips processed files —
+    the streaming resume path (vs the batch _lineage anti-join).
+    """
+    mentions = extract_mentions(read_transcript_stream(spark, input_path))
+    return (
+        mentions.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_mention_counts(
+    transcripts: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window mention counts with late-data tolerance.
+
+    Works on both batch and streaming DataFrames (same plan); in streaming
+    append mode the watermark bounds state and controls window emission.
+    JVM-side regexp (no Python) — this aggregation never needs the full
+    extraction taxonomy, only the E1 URN class.
+    """
+    urns = transcripts.select(
+        "ts",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(_URN_RE), F.lit(0))
+        ).alias("surface"),
+    ).select(
+        "ts",
+        F.regexp_replace("surface", "[<>]", "").alias("urn"),
+    )
+    return (
+        urns.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "urn")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "urn",
+            "n_mentions",
+        )
+    )
+
+
+def stream_mention_counts(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """Windowed mention counts as an append-mode parquet stream."""
+    counts = windowed_mention_counts(
+        read_transcript_stream(spark, input_path), window, watermark
+    )
+    return (
+        counts.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

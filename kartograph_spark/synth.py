@@ -237,17 +237,30 @@ def gen_alias_dictionary(seed: int = SEED) -> pd.DataFrame:
 
 
 def write_corpus(out_dir: str, n_conv: int = 200, seed: int = SEED, **kw) -> dict:
-    """Write transcripts.parquet + alias_dictionary.parquet; returns stats."""
+    """Write transcripts.parquet + alias_dictionary.parquet; returns stats.
+
+    Large corpora are written as a DIRECTORY of part files (~25k turns
+    each) — the layout a real many-file/Iceberg table has, so the Spark
+    scan parallelizes natively with no repartition; pandas reads the
+    directory transparently.  Small corpora stay single-file.
+    """
     os.makedirs(out_dir, exist_ok=True)
     tr = gen_transcripts(n_conv=n_conv, seed=seed, **kw)
     al = gen_alias_dictionary(seed=seed)
-    # Small row groups: a single parquet file still yields many scan splits
-    # (Spark assigns row groups to byte-range splits), mirroring the
-    # many-file layout a real 100 TB Iceberg table has.
-    tr.to_parquet(
-        os.path.join(out_dir, "transcripts.parquet"),
-        index=False,
-        row_group_size=8192,
-    )
+    tr_path = os.path.join(out_dir, "transcripts.parquet")
+    n_files = max(1, len(tr) // 25_000)
+    if n_files == 1:
+        tr.to_parquet(tr_path, index=False, row_group_size=8192)
+    else:
+        if os.path.isfile(tr_path):
+            os.remove(tr_path)
+        os.makedirs(tr_path, exist_ok=True)
+        per = (len(tr) + n_files - 1) // n_files
+        for i in range(n_files):
+            tr.iloc[i * per : (i + 1) * per].to_parquet(
+                os.path.join(tr_path, f"part-{i:05d}.parquet"),
+                index=False,
+                row_group_size=8192,
+            )
     al.to_parquet(os.path.join(out_dir, "alias_dictionary.parquet"), index=False)
     return {"turns": len(tr), "conversations": tr["conv_id"].nunique(), "aliases": len(al)}

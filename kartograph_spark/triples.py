@@ -83,33 +83,52 @@ def mention_triples(mentions: DataFrame) -> DataFrame:
 
     Output: (subj, pred, obj, obj_is_ref, dtype, conv_id, turn_idx,
     kind_rank, match_idx).
+
+    Single pass: one explode of a 3-struct array per mention instead of a
+    3-way union — a union re-evaluates the upstream mention/canonical plan
+    once per branch, tripling the map work on a corpus-sized frame.
     """
-    edges = mentions.select(
-        conv_subject_col().alias("subj"),
-        clean_predicate_col(F.col("pred")).alias("pred"),
-        F.col("urn").alias("obj"),
-        F.lit(True).alias("obj_is_ref"),
-        F.lit("uid").alias("dtype"),
+    trip = lambda subj, pred, obj, is_ref, dtype: F.struct(  # noqa: E731
+        subj.alias("subj"),
+        pred.alias("pred"),
+        obj.alias("obj"),
+        is_ref.alias("obj_is_ref"),
+        dtype.alias("dtype"),
+    )
+    escaped_name = escape_literal_col(F.col("name"))
+    exploded = mentions.select(
+        F.explode(
+            F.array(
+                trip(
+                    conv_subject_col(),
+                    clean_predicate_col(F.col("pred")),
+                    F.col("urn"),
+                    F.lit(True),
+                    F.lit("uid"),
+                ),
+                trip(
+                    # dgraph.type emitted verbatim, load_dgraph.py:284-290
+                    F.col("urn"),
+                    F.lit("dgraph.type"),
+                    F.col("entity_type"),
+                    F.lit(False),
+                    F.lit("string"),
+                ),
+                trip(
+                    F.col("urn"),
+                    F.lit("name"),
+                    # sanitized literal -> NULL marks a dropped name triple
+                    F.when(literal_kept_col(escaped_name), escaped_name),
+                    F.lit(False),
+                    F.lit("string"),
+                ),
+            )
+        ).alias("t"),
         *PROV_COLS,
     )
-    node_types = mentions.select(
-        F.col("urn").alias("subj"),
-        F.lit("dgraph.type").alias("pred"),  # verbatim, load_dgraph.py:284-290
-        F.col("entity_type").alias("obj"),
-        F.lit(False).alias("obj_is_ref"),
-        F.lit("string").alias("dtype"),
-        *PROV_COLS,
+    return exploded.filter(F.col("t.obj").isNotNull()).select(
+        "t.subj", "t.pred", "t.obj", "t.obj_is_ref", "t.dtype", *PROV_COLS
     )
-    names = mentions.withColumn("obj", escape_literal_col(F.col("name")))
-    node_names = names.filter(literal_kept_col(F.col("obj"))).select(
-        F.col("urn").alias("subj"),
-        F.lit("name").alias("pred"),
-        F.col("obj"),
-        F.lit(False).alias("obj_is_ref"),
-        F.lit("string").alias("dtype"),
-        *PROV_COLS,
-    )
-    return edges.unionByName(node_types).unionByName(node_names)
 
 
 def conversation_triples(transcripts: DataFrame) -> DataFrame:
@@ -118,7 +137,9 @@ def conversation_triples(transcripts: DataFrame) -> DataFrame:
     Gives the triple set dtype diversity matching the reference's literal
     formats (load_dgraph.py:384-400): int (turn_count), float
     (avg_gap_secs), bool (has_tool_calls), string (name, started_at).
-    Single aggregation, map-side combinable.
+    Single map-side-combinable aggregation, then ONE explode of a 6-struct
+    array — not a 6-way union (which re-evaluates the corpus aggregation
+    once per branch).
     """
     agg = transcripts.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("turn_count"),
@@ -127,55 +148,54 @@ def conversation_triples(transcripts: DataFrame) -> DataFrame:
         F.max("ts").alias("max_ts"),
         F.max(F.col("tool").isNotNull()).alias("has_tool"),
     )
-    subj = conv_subject_col()
 
-    def row(pred: str, obj: Column, dtype: str) -> DataFrame:
-        d = agg.select(
-            subj.alias("subj"),
-            F.lit(pred).alias("pred"),
-            obj.alias("obj"),
-            F.lit(False).alias("obj_is_ref"),
-            F.lit(dtype).alias("dtype"),
-            F.col("conv_id"),
-            F.col("first_turn").cast("long").alias("turn_idx"),
-            F.lit(-1).cast("long").alias("kind_rank"),
-            F.lit(0).cast("long").alias("match_idx"),
+    def trip(pred: str, obj: Column, dtype: str) -> Column:
+        return F.struct(
+            F.lit(pred).alias("pred"), obj.alias("obj"), F.lit(dtype).alias("dtype")
         )
-        return d
 
-    parts = [
-        row("dgraph.type", F.lit("Conversation"), "string"),
-        row("name", F.col("conv_id"), "string"),
-        row("turn_count", F.col("turn_count").cast("string"), "int"),
-        row(
-            "started_at",
-            F.date_format("min_ts", "yyyy-MM-dd'T'HH:mm:ss"),
-            "string",
+    # try_divide: single-turn conversations have no gap -> NULL obj ->
+    # row dropped below (ANSI mode would otherwise fail the whole job)
+    gap = F.round(
+        F.try_divide(
+            F.unix_timestamp("max_ts") - F.unix_timestamp("min_ts"),
+            F.col("turn_count") - 1,
         ),
-        row(
-            "has_tool_calls",
-            F.when(F.col("has_tool"), "true").otherwise("false"),
-            "bool",
-        ),
-    ]
-    # try_divide: single-turn conversations have no gap -> NULL -> row
-    # dropped below (ANSI mode would otherwise fail the whole job)
-    gap = row(
-        "avg_gap_secs",
-        F.round(
-            F.try_divide(
-                F.unix_timestamp("max_ts") - F.unix_timestamp("min_ts"),
-                F.col("turn_count") - 1,
-            ),
-            2,
-        ).cast("string"),
-        "float",
+        2,
+    ).cast("string")
+    exploded = agg.select(
+        "conv_id",
+        F.col("first_turn").cast("long").alias("turn_idx"),
+        F.explode(
+            F.array(
+                trip("dgraph.type", F.lit("Conversation"), "string"),
+                trip("name", F.col("conv_id"), "string"),
+                trip("turn_count", F.col("turn_count").cast("string"), "int"),
+                trip(
+                    "started_at",
+                    F.date_format("min_ts", "yyyy-MM-dd'T'HH:mm:ss"),
+                    "string",
+                ),
+                trip(
+                    "has_tool_calls",
+                    F.when(F.col("has_tool"), "true").otherwise("false"),
+                    "bool",
+                ),
+                trip("avg_gap_secs", gap, "float"),
+            )
+        ).alias("t"),
     )
-    parts.append(gap.filter(F.col("obj").isNotNull()))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return exploded.filter(F.col("t.obj").isNotNull()).select(
+        conv_subject_col().alias("subj"),
+        F.col("t.pred").alias("pred"),
+        F.col("t.obj").alias("obj"),
+        F.lit(False).alias("obj_is_ref"),
+        F.col("t.dtype").alias("dtype"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.lit(-1).cast("long").alias("kind_rank"),
+        F.lit(0).cast("long").alias("match_idx"),
+    )
 
 
 def dedup_first_occurrence(triples: DataFrame) -> DataFrame:
@@ -185,10 +205,22 @@ def dedup_first_occurrence(triples: DataFrame) -> DataFrame:
     Merge semantics match urn_deduplicator.py:102-156: conflicting (pred,
     obj) values survive as distinct triples (union of distinct pairs);
     first occurrence wins provenance.
+
+    The (turn_idx, kind_rank, match_idx) tail of the ordering is packed
+    into one long (order-preserving: kind_rank >= -1 offset by 1,
+    match_idx capped below 2^20) so the min-struct aggregation buffer is
+    (string, long) instead of (string, long, long, long) — ~1/3 the sort
+    and shuffle bytes of the corpus-sized aggregation.
     """
+    packed = (
+        F.col("turn_idx") * F.lit(1 << 24)
+        + (F.col("kind_rank") + 1) * F.lit(1 << 20)
+        + F.least(F.col("match_idx"), F.lit((1 << 20) - 1))
+    )
     return (
-        triples.groupBy("subj", "pred", "obj", "obj_is_ref", "dtype")
-        .agg(F.min(F.struct(*PROV_COLS)).alias("prov"))
+        triples.withColumn("_pk", packed)
+        .groupBy("subj", "pred", "obj", "obj_is_ref", "dtype")
+        .agg(F.min(F.struct("conv_id", "_pk")).alias("prov"))
         .select(
             "subj",
             "pred",
@@ -196,7 +228,7 @@ def dedup_first_occurrence(triples: DataFrame) -> DataFrame:
             "obj_is_ref",
             "dtype",
             F.col("prov.conv_id").alias("conv_id"),
-            F.col("prov.turn_idx").alias("turn_idx"),
+            F.shiftright(F.col("prov._pk"), 24).alias("turn_idx"),
         )
     )
 
@@ -205,16 +237,20 @@ def resolve_mixed_type_predicates(triples: DataFrame) -> DataFrame:
     """uid > scalar resolution (load_dgraph.py:172-206, 324-346): drop
     scalar triples whose predicate is observed as uid anywhere.
 
-    The uid-predicate set is tiny (distinct predicate names) -> broadcast
-    left anti join, no shuffle of the triple set.
+    The uid-predicate set is tiny (distinct predicate names): collect it
+    to the driver (map-side partial distinct -> tiny shuffle) and inline
+    the exclusion as an isin predicate — avoids a BroadcastExchange whose
+    single-task build stage sits on the critical path.
     """
-    uid_preds = (
-        triples.filter(F.col("obj_is_ref")).select("pred").distinct()
+    uid_preds = [
+        r["pred"]
+        for r in triples.filter(F.col("obj_is_ref")).select("pred").distinct().collect()
+    ]
+    if not uid_preds:  # no ref triples at all -> nothing to drop
+        return triples
+    return triples.filter(
+        F.col("obj_is_ref") | ~F.col("pred").isin(uid_preds)
     )
-    scalars = triples.filter(~F.col("obj_is_ref")).join(
-        F.broadcast(uid_preds), "pred", "left_anti"
-    )
-    return triples.filter(F.col("obj_is_ref")).unionByName(scalars)
 
 
 def encode_final(triples: DataFrame) -> DataFrame:

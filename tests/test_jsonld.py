@@ -1,0 +1,69 @@
+"""JSON-LD round-trip (S4/S5) + N-Quads export (S6) over a real pipeline
+run on the seeded corpus."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from kartograph_spark import jsonld
+from kartograph_spark.graph import build_edges, build_nodes
+from kartograph_spark.pipeline import build_triples
+
+
+def _graph(spark, transcripts_df, alias_df):
+    kept, _ = build_triples(spark, transcripts_df, alias_df)
+    return build_nodes(kept), build_edges(kept), kept
+
+
+def test_jsonld_document_roundtrip(spark, transcripts_df, alias_df, tmp_path):
+    nodes, edges, _ = _graph(spark, transcripts_df, alias_df)
+    path = str(tmp_path / "graph.jsonld")
+    jsonld.save_jsonld_document(nodes, edges, path)
+
+    doc = json.load(open(path))
+    assert "@context" in doc and "@graph" in doc
+    n_nodes = nodes.count()
+    assert len(doc["@graph"]) == n_nodes
+    ent = {e["@id"]: e for e in doc["@graph"]}
+    # every entity has the reference's required keys (@id/@type, name)
+    sample = next(iter(ent.values()))
+    assert sample["@id"].startswith("urn:") and sample["@type"]
+
+    # S4: load back through spark.read.json(multiLine) + explode
+    loaded = jsonld.load_jsonld_document(spark, path)
+    assert loaded.count() == n_nodes
+    back = {r["urn"]: r["type"] for r in loaded.collect()}
+    for r in nodes.collect():
+        assert back[r["urn"]] == r["type"]
+
+
+def test_jsonld_distributed_sink(spark, transcripts_df, alias_df, tmp_path):
+    nodes, edges, _ = _graph(spark, transcripts_df, alias_df)
+    out = str(tmp_path / "jl")
+    jsonld.write_jsonld_graph(nodes, edges, out)
+    lines = spark.read.text(f"{out}/graph_jsonl")
+    assert lines.count() == nodes.count()
+    # each line parses as a JSON object with @id; ref values are {"@id": ...}
+    parsed = [json.loads(r["value"]) for r in lines.limit(50).collect()]
+    assert all(p["@id"].startswith("urn:") for p in parsed)
+    with_refs = [p for p in parsed if "mentions" in p]
+    if with_refs:
+        tgt = with_refs[0]["mentions"]
+        first = tgt[0] if isinstance(tgt, list) else tgt
+        assert "@id" in first
+
+
+def test_nquads_export(spark, transcripts_df, alias_df, tmp_path):
+    _, _, kept = _graph(spark, transcripts_df, alias_df)
+    out = str(tmp_path / "nq")
+    jsonld.write_nquads(kept, out)
+    nq = spark.read.text(out)
+    assert nq.count() == kept.count()
+    # line format: every line ends ' .', uid lines use <...> objects,
+    # typed literals carry ^^<xs:...> suffixes (load_dgraph.py:384-417)
+    bad = nq.filter(~F.col("value").rlike(r"^<[^>]+> <[^>]+> .+ \.$"))
+    assert bad.count() == 0
+    typed = nq.filter(F.col("value").contains("^^<xs:int>"))
+    assert typed.count() > 0

@@ -1,0 +1,82 @@
+"""Structured Streaming: incremental extraction parity + resume, windowed
+counts vs the batch plan (same-plan property of windowed_mention_counts)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from kartograph_spark import synth
+from kartograph_spark.extraction.mentions import extract_mentions
+from kartograph_spark.streaming import (
+    stream_mention_counts,
+    stream_mentions,
+    windowed_mention_counts,
+)
+
+_MKEY = ["conv_id", "turn_idx", "urn"]
+
+
+def _write_slice(df: pd.DataFrame, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    df.to_parquet(path, index=False)
+
+
+def test_stream_mentions_matches_batch_and_resumes(spark, tmp_path):
+    tr = synth.gen_transcripts(n_conv=30, mean_turns=6)
+    half = tr[tr.conv_id < "conv-000015"].reset_index(drop=True)
+    rest = tr[tr.conv_id >= "conv-000015"].reset_index(drop=True)
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_slice(half, f"{in_dir}/part-0.parquet")
+
+    q = stream_mentions(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(out_dir).toPandas()
+    exp1 = extract_mentions(
+        spark.createDataFrame(half)
+    ).toPandas()
+    assert (
+        got1.sort_values(_MKEY).reset_index(drop=True)[_MKEY].equals(
+            exp1.sort_values(_MKEY).reset_index(drop=True)[_MKEY]
+        )
+    )
+
+    # append new files; re-run drains ONLY the new ones (checkpoint resume)
+    _write_slice(rest, f"{in_dir}/part-1.parquet")
+    q2 = stream_mentions(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(out_dir).toPandas()
+    exp_all = extract_mentions(spark.createDataFrame(tr)).toPandas()
+    assert len(got2) == len(exp_all)
+    assert (
+        got2.sort_values(_MKEY).reset_index(drop=True)[_MKEY].equals(
+            exp_all.sort_values(_MKEY).reset_index(drop=True)[_MKEY]
+        )
+    )
+
+
+def test_windowed_counts_stream_subset_of_batch(spark, tmp_path):
+    tr = synth.gen_transcripts(n_conv=40, mean_turns=8)
+    in_dir = str(tmp_path / "in")
+    _write_slice(tr, f"{in_dir}/part-0.parquet")
+
+    batch = windowed_mention_counts(spark.createDataFrame(tr)).toPandas()
+    assert len(batch) > 0
+
+    out_dir = str(tmp_path / "out")
+    q = stream_mention_counts(spark, in_dir, out_dir, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(out_dir).toPandas()
+    # append mode withholds windows newer than the final watermark, so the
+    # streamed result is a prefix subset of the batch aggregation — and
+    # every emitted row must match the batch plan exactly
+    key = ["window_start", "urn"]
+    merged = streamed.merge(batch, on=key, suffixes=("_s", "_b"), how="left")
+    assert len(merged) == len(streamed)
+    assert (merged["n_mentions_s"] == merged["n_mentions_b"]).all()
+    assert len(streamed) > 0
+    assert len(streamed) <= len(batch)

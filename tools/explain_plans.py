@@ -1,0 +1,73 @@
+"""Dump .explain('formatted') for every driver-contract query plus the KG
+pipeline stages into BENCH/plans/ — the plan-level evidence that filters
+push down, dictionary joins broadcast, and hot paths stay inside
+whole-stage codegen.  Explain only (no job execution), so this is cheap.
+
+A summary line per plan flags: PushedFilters present, BroadcastHashJoin
+used, number of WholeStageCodegen spans, any row-at-a-time Python eval
+(BatchEvalPython — should NEVER appear; ArrowEvalPython/MapInPandas are
+the vectorized forms and are fine).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from kartograph_spark.session import get_spark  # noqa: E402
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def summarize(name: str, text: str) -> str:
+    flags = []
+    if "PushedFilters: [" in text and "PushedFilters: []" not in text:
+        flags.append("pushdown")
+    if "BroadcastHashJoin" in text:
+        flags.append("broadcast-join")
+    n_codegen = text.count("WholeStageCodegen")
+    flags.append(f"codegen x{n_codegen}")
+    if "BatchEvalPython" in text:
+        flags.append("!! ROW-AT-A-TIME PYTHON")
+    if "MapInPandas" in text or "ArrowEvalPython" in text:
+        flags.append("arrow-udf")
+    return f"{name}: {', '.join(flags)}"
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    spark = get_spark("plans", master="local[4]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out_dir = os.path.join(REPO, "BENCH", "plans")
+    os.makedirs(out_dir, exist_ok=True)
+
+    import __spark_entry__ as entry_mod
+
+    lines = []
+    for name, fn in entry_mod.queries().items():
+        try:
+            text = plan_text(fn(spark, sf_dir))
+        except Exception as e:  # plan-only failures should be visible
+            text = f"EXPLAIN FAILED: {e}"
+        with open(os.path.join(out_dir, f"{name}.txt"), "w") as f:
+            f.write(text)
+        lines.append(summarize(name, text))
+
+    with open(os.path.join(out_dir, "SUMMARY.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
