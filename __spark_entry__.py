@@ -10,7 +10,6 @@ genuinely iterative / bit-twiddling ops, which get rows-only checks).
 from __future__ import annotations
 
 import os
-import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,12 +36,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 _SYNTH_CACHE: dict[str, str] = {}
 
+#: deterministic corpus location — a REPO path (not tempdir) so the DuckDB
+#: oracles can read the same parquet via read_parquet() in any process
+_ENTRY_CORPUS_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "data", "entry_corpus_v2"
+)
+
 
 def _synth_corpus() -> str:
     if "dir" not in _SYNTH_CACHE:
         from kartograph_spark import synth
 
-        d = os.path.join(tempfile.gettempdir(), "kg-entry-corpus-v1")
+        d = _ENTRY_CORPUS_DIR
         if not os.path.exists(os.path.join(d, "transcripts.parquet")):
             synth.write_corpus(d, n_conv=120, mean_turns=12)
         _SYNTH_CACHE["dir"] = d
@@ -190,6 +195,68 @@ _COSINE_CTE = """
 e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
 """
 
+# hex nibble -> int (DuckDB has no hex-string cast; strpos over the
+# alphabet is exact and engine-portable)
+_NIBBLE = "strpos('0123456789abcdef', substr(md5(t), {i}, 1)) - 1"
+
+_SIMHASH_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+h AS (
+    SELECT doc_id,
+           ({_NIBBLE.format(i=1)}) * 4096
+         + ({_NIBBLE.format(i=2)}) * 256
+         + ({_NIBBLE.format(i=3)}) * 16
+         + ({_NIBBLE.format(i=4)}) AS bits
+    FROM toks
+),
+votes AS (
+    SELECT doc_id, j,
+           sum(CASE WHEN (bits // (1 << j)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+    FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) s
+    GROUP BY doc_id, j
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+           AS simhash16
+FROM votes GROUP BY doc_id
+"""
+
+# transitive closure over the LSH near-dup pair set (vocabulary-sized):
+# min-reachable-label per node = the connected component representative.
+_CC_SQL = (
+    "WITH RECURSIVE "
+    + _SHINGLES_CTE
+    + """
+, lsh AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS matched_bands
+    FROM (SELECT doc_id, unnest([mh1, mh2, mh3, mh4]) AS mh,
+                 generate_subscripts([mh1, mh2, mh3, mh4], 1) AS band
+          FROM sigs) a
+    JOIN (SELECT doc_id, unnest([mh1, mh2, mh3, mh4]) AS mh,
+                 generate_subscripts([mh1, mh2, mh3, mh4], 1) AS band
+          FROM sigs) b
+      ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+),
+edges AS (
+    SELECT CAST(doc_a AS VARCHAR) AS u, CAST(doc_b AS VARCHAR) AS v FROM lsh
+    UNION
+    SELECT CAST(doc_b AS VARCHAR), CAST(doc_a AS VARCHAR) FROM lsh
+),
+reach AS (
+    SELECT u AS node, u AS r FROM edges
+    UNION
+    SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node
+)
+SELECT node AS member_urn, component AS canonical_urn FROM (
+    SELECT node, min(r) AS component FROM reach GROUP BY node
+) WHERE node <> component
+"""
+)
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -245,6 +312,8 @@ FROM fp GROUP BY fp HAVING count(*) > 1
         "dedup_minhash_signatures": "WITH "
         + _SHINGLES_CTE
         + "SELECT doc_id, mh1, mh2, mh3, mh4 FROM sigs",
+        "dedup_simhash": _SIMHASH_SQL,
+        "kg_connected_components": _CC_SQL,
         "dedup_neardup_lsh": "WITH "
         + _SHINGLES_CTE
         + """
@@ -423,7 +492,7 @@ SELECT user_id, CAST(rn AS BIGINT) AS rn, event_id, event_type FROM (
 ) WHERE rn <= 3
 """,
         "rel_user_sessions": """
-SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events FROM (
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
     SELECT user_id,
            CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800.0
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

@@ -116,15 +116,20 @@ def _collect_if_small(pairs: DataFrame, cap: int):
 
 
 def connected_components(
-    pairs: DataFrame, max_driver_edges: int | None = None
+    pairs: DataFrame,
+    max_driver_edges: int | None = None,
+    _assume_large: bool = False,
 ) -> DataFrame:
     """pairs(src, dst) -> labels(member, component) with component = min id.
 
     Includes a self row (component, component) for each component root, so
     every node seen in ``pairs`` appears exactly once in the output.
+
+    ``_assume_large``: internal — the caller already size-probed the pair
+    set and found it over the cap, so skip the (corpus-sized) re-probe.
     """
     cap = DRIVER_UNION_FIND_MAX if max_driver_edges is None else max_driver_edges
-    small = _collect_if_small(pairs, cap)
+    small = None if _assume_large else _collect_if_small(pairs, cap)
     if small is not None:
         parent = _union_find(small)
         rows = [(m, _uf_find(parent, m)) for m in list(parent)]
@@ -198,7 +203,9 @@ def canonical_map(
             out, "member_urn string, canonical_urn string"
         )
 
-    labels = connected_components(pairs, max_driver_edges=max_driver_edges)
+    labels = connected_components(
+        pairs, max_driver_edges=max_driver_edges, _assume_large=True
+    )
     if preferred is not None:
         pref = preferred.select(F.col("urn").alias("member"), F.lit(0).alias("tier"))
         labels = labels.join(F.broadcast(pref), "member", "left").withColumn(

@@ -178,7 +178,11 @@ def run_pipeline(
     raw = tr.mention_triples(canonical).unionByName(
         tr.conversation_triples(transcripts)
     )
-    deduped = tr.dedup_first_occurrence(raw)
+    # persist + eager count mirrors build_triples: resolve's uid-predicate
+    # collect and the validation fan-out would otherwise each recompute the
+    # full canonicalize -> explode -> dedup-shuffle chain.
+    deduped = tr.dedup_first_occurrence(raw).persist()
+    deduped.count()
     resolved = tr.resolve_mixed_type_predicates(deduped)
     encoded = tr.encode_final(resolved)
 

@@ -18,6 +18,7 @@ Scale knobs follow FIXTURES F5:
 from __future__ import annotations
 
 import os
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -248,12 +249,16 @@ def write_corpus(out_dir: str, n_conv: int = 200, seed: int = SEED, **kw) -> dic
     tr = gen_transcripts(n_conv=n_conv, seed=seed, **kw)
     al = gen_alias_dictionary(seed=seed)
     tr_path = os.path.join(out_dir, "transcripts.parquet")
+    # clear any previous layout: regenerating a smaller corpus into the
+    # same dir must not leave stale part files that corrupt the corpus
+    if os.path.isfile(tr_path):
+        os.remove(tr_path)
+    elif os.path.isdir(tr_path):
+        shutil.rmtree(tr_path)
     n_files = max(1, len(tr) // 25_000)
     if n_files == 1:
         tr.to_parquet(tr_path, index=False, row_group_size=8192)
     else:
-        if os.path.isfile(tr_path):
-            os.remove(tr_path)
         os.makedirs(tr_path, exist_ok=True)
         per = (len(tr) + n_files - 1) // n_files
         for i in range(n_files):

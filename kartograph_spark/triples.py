@@ -212,6 +212,12 @@ def dedup_first_occurrence(triples: DataFrame) -> DataFrame:
     (string, long) instead of (string, long, long, long) — ~1/3 the sort
     and shuffle bytes of the corpus-sized aggregation.
     """
+    # the 4-bit kind_rank field (stride 1<<20 under the 1<<24 turn_idx
+    # stride) holds ranks -1..14 after the +1 offset — fail loudly if a
+    # new kind ever overflows it (would corrupt ordering + unpacking)
+    from kartograph_spark import rules as _rules
+
+    assert max(_rules.KIND_RANK.values()) < 15, "kind_rank overflows packed field"
     packed = (
         F.col("turn_idx") * F.lit(1 << 24)
         + (F.col("kind_rank") + 1) * F.lit(1 << 20)
@@ -248,8 +254,13 @@ def resolve_mixed_type_predicates(triples: DataFrame) -> DataFrame:
     ]
     if not uid_preds:  # no ref triples at all -> nothing to drop
         return triples
+    # pred.isNull() guard: NULL ~isin(...) is NULL and would silently drop
+    # null-predicate scalars (unreachable with clean_predicate_col output,
+    # but preserve the anti-join semantics this replaced)
     return triples.filter(
-        F.col("obj_is_ref") | ~F.col("pred").isin(uid_preds)
+        F.col("obj_is_ref")
+        | F.col("pred").isNull()
+        | ~F.col("pred").isin(uid_preds)
     )
 
 
