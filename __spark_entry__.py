@@ -67,6 +67,45 @@ def _kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept
 
 
+def _kg_transcript_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 URN mention extraction (pre-canonicalization) over the seeded
+    transcript corpus — the mapInPandas extraction core cross-checked
+    against a pure-SQL regexp oracle (EntityExtractor.ts:18-49 semantics:
+    per-turn dedupe keeping first occurrence)."""
+    from kartograph_spark.extraction.mentions import extract_mentions
+
+    d = _synth_corpus()
+    tr = spark.read.parquet(f"{d}/transcripts.parquet")
+    return extract_mentions(tr).filter(F.col("kind") == "urn").select(
+        "conv_id", "turn_idx", "urn", "entity_type", "ident", "name", "match_idx"
+    )
+
+
+def _kg_entity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity->entity relationship edges (pre-canonicalization): each verb
+    -pattern mention attributed to the nearest preceding E1 URN mention in
+    the same turn (reference output contract: uid triples hang off
+    extracted entities, load_dgraph.py:299-309), Conversation fallback
+    when the turn has no anchor.  Oracle replays the identical combined
+    regex scan + window forward-fill in DuckDB."""
+    from kartograph_spark import rules
+    from kartograph_spark.extraction.mentions import extract_mentions
+
+    d = _synth_corpus()
+    tr = spark.read.parquet(f"{d}/transcripts.parquet")
+    verb_kinds = [k for k, *_ in rules.VERB_PATTERNS]
+    return extract_mentions(tr).filter(F.col("kind").isin(verb_kinds)).select(
+        "conv_id",
+        "turn_idx",
+        F.coalesce(
+            "subj_urn", F.concat(F.lit("urn:Conversation:"), F.col("conv_id"))
+        ).alias("subj"),
+        "pred",
+        F.col("urn").alias("obj"),
+        "match_idx",
+    )
+
+
 def _kg_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components canonicalization over MinHash near-dup pairs
     (iterative large-star/small-star — not SQL-expressible)."""
@@ -130,7 +169,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_event_rollup": relational.event_rollup,
         "rel_purchase_click_intersect": relational.purchase_click_overlap,
         "rel_order_priority_hist": relational.order_priority_histogram,
-        # iterative / pipeline (rows-only)
+        # transcript KG extraction (seeded corpus, read_parquet oracles)
+        "kg_transcript_mentions": _kg_transcript_mentions,
+        "kg_entity_edges": _kg_entity_edges,
+        # iterative / pipeline
         "kg_connected_components": _kg_connected_components,
         "kg_pipeline_synthetic": _kg_pipeline_triples,
     }
@@ -258,8 +300,435 @@ SELECT node AS member_urn, component AS canonical_urn FROM (
 )
 
 
+def _sql_urn_encode(expr: str) -> str:
+    """Nested replace() chain mirroring rules._URN_ENCODE_CHAIN."""
+    from kartograph_spark.rules import _URN_ENCODE_CHAIN
+
+    for ch, rep in _URN_ENCODE_CHAIN:
+        expr = "replace({e}, '{c}', '{r}')".format(
+            e=expr, c=ch.replace("'", "''"), r=rep
+        )
+    return expr
+
+
+def _pipeline_oracle_sql(path: str) -> str:
+    """The FULL KG pipeline (extract -> link -> canonicalize -> triples ->
+    dedup -> resolve -> encode) as one DuckDB query over the corpus
+    parquet — the independent SQL twin of kartograph_spark.pipeline.
+    build_triples, used by the driver to hash-check the flagship query.
+
+    Stages mirror SURVEY.md §7.1; every rule constant is taken from
+    kartograph_spark.rules so the two implementations cannot drift.
+    """
+    from kartograph_spark import rules
+
+    kind_arms, obj_arms, pred_arms, etype_arms, rank_arms = [], [], [], [], []
+    for kind, pat, pred, etype in rules.VERB_PATTERNS:
+        lit = pat.split("(", 1)[0].replace("\\b", "")
+        p = pat.replace("'", "''")
+        kind_arms.append(f"WHEN mtxt LIKE '{lit}%' THEN '{kind}'")
+        obj_arms.append(f"WHEN '{kind}' THEN regexp_extract(mtxt, '{p}', 1)")
+        pred_arms.append(f"WHEN '{kind}' THEN '{pred}'")
+        etype_arms.append(f"WHEN '{kind}' THEN '{etype}'")
+    for k, r in rules.KIND_RANK.items():
+        rank_arms.append(f"WHEN '{k}' THEN {r}")
+    comb = rules.COMBINED_POSITION_RE_SQL.replace("'", "''")
+    email_re = rules.EMAIL_RE.replace("'", "''")
+    url_re = rules.URL_RE.replace("'", "''")
+    slack_re = rules.SLACK_RE.replace("'", "''")
+    alias_path = os.path.join(os.path.dirname(path), "alias_dictionary.parquet")
+
+    esc_name = (
+        "replace(replace(replace(name, '\\', '\\\\'), '\"', '\\\"'), chr(10), '\\n')"
+    )
+    slug = "regexp_replace(lower(trim(obj_name)), '[ _]+', '-', 'g')"
+    anorm = "trim(regexp_replace(lower({x}), '[-_\\s]+', ' ', 'g'))"
+
+    return f"""
+WITH RECURSIVE
+tr AS (SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, text, tool, ts
+       FROM read_parquet('{path}')),
+adict AS (SELECT * FROM read_parquet('{alias_path}')),
+
+-- combined interleaved scan: E1 urns + verb patterns with anchor ffill
+seq AS (
+    SELECT conv_id, turn_idx,
+           unnest(regexp_extract_all(text, '{comb}', 0)) AS mtxt,
+           generate_subscripts(regexp_extract_all(text, '{comb}', 0), 1) AS cpos
+    FROM tr
+),
+cls AS (
+    SELECT conv_id, turn_idx, cpos, mtxt,
+           CASE WHEN mtxt LIKE '<urn:%' THEN 'urn'
+                {' '.join(kind_arms)} END AS kind
+    FROM seq
+),
+anch AS (
+    SELECT *,
+           last_value(CASE WHEN kind = 'urn'
+                           THEN 'urn:' || regexp_extract(mtxt, '<urn:([^:]+):([^>]+)>', 1)
+                                || ':' || regexp_extract(mtxt, '<urn:([^:]+):([^>]+)>', 2)
+                      END IGNORE NULLS)
+             OVER (PARTITION BY conv_id, turn_idx ORDER BY cpos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS anchor,
+           row_number() OVER (PARTITION BY conv_id, turn_idx, kind
+                              ORDER BY cpos) - 1 AS match_idx
+    FROM cls
+),
+m_urn AS (
+    SELECT conv_id, turn_idx, 'urn' AS kind, 0 AS kind_rank, match_idx,
+           'urn:' || regexp_extract(mtxt, '<urn:([^:]+):([^>]+)>', 1)
+               || ':' || regexp_extract(mtxt, '<urn:([^:]+):([^>]+)>', 2) AS urn,
+           regexp_extract(mtxt, '<urn:([^:]+):([^>]+)>', 1) AS entity_type,
+           replace(replace(regexp_extract(mtxt, '<urn:([^:]+):([^>]+)>', 2),
+                           '-', ' '), '_', ' ') AS name,
+           'mentions' AS pred, CAST(NULL AS VARCHAR) AS subj_urn
+    FROM anch WHERE kind = 'urn'
+),
+m_verb AS (
+    SELECT conv_id, turn_idx, kind,
+           CASE kind {' '.join(rank_arms)} END AS kind_rank, match_idx,
+           'urn:' || etype || ':' || {slug} AS urn,
+           etype AS entity_type, obj_name AS name, pred, anchor AS subj_urn
+    FROM (
+        SELECT *,
+               CASE kind {' '.join(pred_arms)} END AS pred,
+               CASE kind {' '.join(etype_arms)} END AS etype,
+               CASE kind {' '.join(obj_arms)} END AS obj_name
+        FROM anch WHERE kind <> 'urn'
+    )
+),
+m_email AS (
+    SELECT conv_id, turn_idx, 'email' AS kind, 1 AS kind_rank,
+           generate_subscripts(regexp_extract_all(text, '{email_re}', 0), 1) - 1 AS match_idx,
+           'urn:EmailAddress:' || lower(unnest(regexp_extract_all(text, '{email_re}', 0))) AS urn,
+           'EmailAddress' AS entity_type,
+           unnest(regexp_extract_all(text, '{email_re}', 0)) AS name,
+           'mentions' AS pred, CAST(NULL AS VARCHAR) AS subj_urn
+    FROM tr
+),
+m_url AS (
+    SELECT conv_id, turn_idx, 'url' AS kind, 2 AS kind_rank,
+           generate_subscripts(regexp_extract_all(text, '{url_re}', 0), 1) - 1 AS match_idx,
+           'urn:CodeRepository:' || unnest(regexp_extract_all(text, '{url_re}', 0)) AS urn,
+           'CodeRepository' AS entity_type,
+           unnest(regexp_extract_all(text, '{url_re}', 0)) AS name,
+           'mentions' AS pred, CAST(NULL AS VARCHAR) AS subj_urn
+    FROM tr
+),
+m_slack AS (
+    SELECT conv_id, turn_idx, 'slack' AS kind, 3 AS kind_rank,
+           generate_subscripts(regexp_extract_all(text, '{slack_re}', 1), 1) - 1 AS match_idx,
+           'urn:SlackChannel:' || unnest(regexp_extract_all(text, '{slack_re}', 1)) AS urn,
+           'SlackChannel' AS entity_type,
+           unnest(regexp_extract_all(text, '{slack_re}', 1)) AS name,
+           'mentions' AS pred, CAST(NULL AS VARCHAR) AS subj_urn
+    FROM tr
+),
+m_all AS (
+    SELECT * FROM m_urn UNION ALL SELECT * FROM m_verb
+    UNION ALL SELECT * FROM m_email UNION ALL SELECT * FROM m_url
+    UNION ALL SELECT * FROM m_slack
+),
+-- per-turn dedupe keep first by (kind_rank, match_idx)
+mded AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx, coalesce(subj_urn, ''), pred, urn
+            ORDER BY kind_rank, match_idx) AS _rn
+        FROM m_all
+    ) WHERE _rn = 1
+),
+
+-- type normalization map (A3 + J6, rules.build_type_norm_map)
+tcounts AS (SELECT entity_type, count(*) AS n FROM mded GROUP BY entity_type),
+tstem AS (
+    SELECT entity_type, n,
+           CASE WHEN len(entity_type) > 3 AND lower(entity_type) LIKE '%s'
+                     AND lower(entity_type) NOT LIKE '%ss'
+                THEN lower(substr(entity_type, 1, len(entity_type) - 1))
+                ELSE lower(entity_type) END AS stem,
+           CASE WHEN len(entity_type) > 3 AND lower(entity_type) LIKE '%s'
+                     AND lower(entity_type) NOT LIKE '%ss'
+                THEN substr(entity_type, 1, len(entity_type) - 1)
+                ELSE entity_type END AS cand
+    FROM tcounts
+),
+cagg AS (
+    SELECT stem, cand, sum(n) AS n,
+           regexp_matches(cand, '^[A-Z][A-Za-z0-9_]*$') AS valid
+    FROM tstem GROUP BY stem, cand
+),
+cpool AS (
+    SELECT *, max(CASE WHEN valid THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY stem) AS has_valid
+    FROM cagg
+),
+canon AS (
+    SELECT stem,
+           CASE WHEN valid THEN cand
+                ELSE upper(substr(cand, 1, 1)) || substr(cand, 2) END AS canonical
+    FROM (
+        SELECT stem, cand, valid,
+               row_number() OVER (PARTITION BY stem ORDER BY n DESC, cand) AS rk
+        FROM cpool WHERE valid OR has_valid = 0
+    ) WHERE rk = 1
+),
+tnorm AS (
+    SELECT t.entity_type, c.canonical AS canonical_type
+    FROM tstem t JOIN canon c ON t.stem = c.stem
+    WHERE t.entity_type <> c.canonical
+),
+typed AS (
+    SELECT m.conv_id, m.turn_idx, m.kind, m.kind_rank, m.match_idx,
+           CASE WHEN n.canonical_type IS NOT NULL
+                THEN 'urn:' || n.canonical_type || ':'
+                     || regexp_replace(m.urn, '^urn:[^:]*:', '')
+                ELSE m.urn END AS urn,
+           coalesce(n.canonical_type, m.entity_type) AS entity_type,
+           m.name, m.pred,
+           CASE WHEN sn.canonical_type IS NOT NULL
+                THEN 'urn:' || sn.canonical_type || ':'
+                     || regexp_replace(m.subj_urn, '^urn:[^:]*:', '')
+                ELSE m.subj_urn END AS subj_urn
+    FROM mded m
+    LEFT JOIN tnorm n ON m.entity_type = n.entity_type
+    LEFT JOIN tnorm sn
+      ON regexp_extract(m.subj_urn, '^urn:([^:]+):', 1) = sn.entity_type
+),
+
+-- linking pairs (J7): dictionary hits (1.0) + same blocking key (0.9)
+link_hits AS (
+    SELECT DISTINCT c.urn AS src, a.canonical_urn AS dst
+    FROM (SELECT DISTINCT urn, {anorm.format(x='name')} AS alias_norm
+          FROM typed WHERE kind <> 'urn') c
+    JOIN adict a ON c.alias_norm = a.alias_norm
+    WHERE c.urn <> a.canonical_urn
+),
+same_name AS (
+    SELECT urn AS src, min_urn AS dst FROM (
+        SELECT urn, min(urn) OVER (PARTITION BY bkey, entity_type) AS min_urn
+        FROM (SELECT DISTINCT {anorm.format(x='name')} AS bkey, entity_type, urn
+              FROM typed)
+    ) WHERE urn <> min_urn
+),
+pairs AS (SELECT src, dst FROM link_hits UNION SELECT src, dst FROM same_name),
+
+-- connected components: transitive closure, preferred reps win then min
+edges AS (SELECT src AS u, dst AS v FROM pairs
+          UNION SELECT dst, src FROM pairs),
+reach AS (
+    SELECT u AS node, u AS r FROM edges
+    UNION
+    SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node
+),
+pref AS (SELECT DISTINCT canonical_urn AS urn FROM adict),
+cmap AS (
+    SELECT node AS member_urn, canonical FROM (
+        SELECT node,
+               substr(min(CASE WHEN r IN (SELECT urn FROM pref)
+                               THEN '0' ELSE '1' END || r), 2) AS canonical
+        FROM reach GROUP BY node
+    ) WHERE node <> canonical
+),
+rewritten AS (
+    SELECT t.conv_id, t.turn_idx, t.kind, t.kind_rank, t.match_idx,
+           coalesce(c1.canonical, t.urn) AS urn,
+           t.entity_type, t.name, t.pred,
+           coalesce(c2.canonical, t.subj_urn) AS subj_urn
+    FROM typed t
+    LEFT JOIN cmap c1 ON t.urn = c1.member_urn
+    LEFT JOIN cmap c2 ON t.subj_urn = c2.member_urn
+),
+dmeta AS (
+    SELECT canonical_urn AS urn, min(entity_type) AS dt, min(canonical_name) AS dn
+    FROM adict GROUP BY canonical_urn
+),
+mfinal AS (
+    SELECT r.conv_id, r.turn_idx, r.kind_rank, r.match_idx, r.urn,
+           coalesce(d.dt, r.entity_type) AS entity_type,
+           coalesce(d.dn, r.name) AS name, r.pred, r.subj_urn
+    FROM rewritten r LEFT JOIN dmeta d ON r.urn = d.urn
+),
+
+-- triple emission (mention edges + node records + conversation scalars)
+t_mention AS (
+    SELECT coalesce(subj_urn, 'urn:Conversation:' || conv_id) AS subj,
+           pred, urn AS obj, TRUE AS obj_is_ref, 'uid' AS dtype,
+           conv_id, turn_idx, kind_rank, match_idx
+    FROM mfinal
+    UNION ALL
+    SELECT urn, 'dgraph.type', entity_type, FALSE, 'string',
+           conv_id, turn_idx, kind_rank, match_idx
+    FROM mfinal
+    UNION ALL
+    SELECT urn, 'name', {esc_name}, FALSE, 'string',
+           conv_id, turn_idx, kind_rank, match_idx
+    FROM mfinal
+    WHERE NOT (regexp_matches({esc_name}, '[{{}}\\[\\]]') OR {esc_name} = 'None')
+),
+cagg2 AS (
+    SELECT conv_id, count(*) AS turn_count,
+           CAST(min(turn_idx) AS BIGINT) AS first_turn,
+           min(ts) AS min_ts, max(ts) AS max_ts,
+           max(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS has_tool
+    FROM tr GROUP BY conv_id
+),
+t_conv AS (
+    SELECT 'urn:Conversation:' || conv_id AS subj, pred, obj,
+           FALSE AS obj_is_ref, dtype, conv_id, first_turn AS turn_idx,
+           -1 AS kind_rank, 0 AS match_idx
+    FROM (
+        SELECT conv_id, first_turn, 'dgraph.type' AS pred,
+               'Conversation' AS obj, 'string' AS dtype FROM cagg2
+        UNION ALL
+        SELECT conv_id, first_turn, 'name', conv_id, 'string' FROM cagg2
+        UNION ALL
+        SELECT conv_id, first_turn, 'turn_count',
+               CAST(turn_count AS VARCHAR), 'int' FROM cagg2
+        UNION ALL
+        SELECT conv_id, first_turn, 'started_at',
+               strftime(min_ts, '%Y-%m-%dT%H:%M:%S'), 'string' FROM cagg2
+        UNION ALL
+        SELECT conv_id, first_turn, 'has_tool_calls',
+               CASE WHEN has_tool = 1 THEN 'true' ELSE 'false' END, 'bool'
+        FROM cagg2
+        UNION ALL
+        SELECT conv_id, first_turn, 'avg_gap_secs',
+               CAST(round((epoch(max_ts) - epoch(min_ts)) / (turn_count - 1), 2)
+                    AS VARCHAR), 'float'
+        FROM cagg2 WHERE turn_count > 1
+    )
+),
+t_all AS (SELECT * FROM t_mention UNION ALL SELECT * FROM t_conv),
+
+-- first-occurrence dedup (A1/A2 + W1)
+t_ded AS (
+    SELECT subj, pred, obj, obj_is_ref, dtype, conv_id,
+           CAST(turn_idx AS BIGINT) AS turn_idx
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY subj, pred, obj, obj_is_ref, dtype
+            ORDER BY conv_id, turn_idx, kind_rank, match_idx) AS _rn
+        FROM t_all
+    ) WHERE _rn = 1
+),
+-- mixed-type resolution: uid beats scalar
+uidp AS (SELECT DISTINCT pred FROM t_ded WHERE obj_is_ref)
+SELECT {_sql_urn_encode('subj')} AS subj, pred,
+       CASE WHEN obj_is_ref THEN {_sql_urn_encode('obj')} ELSE obj END AS obj,
+       obj_is_ref, dtype, conv_id, turn_idx
+FROM t_ded
+WHERE obj_is_ref OR pred NOT IN (SELECT pred FROM uidp)
+"""
+
+
+def _transcript_oracle_sql() -> dict[str, str]:
+    """DuckDB oracles over the deterministic corpus parquet.  The corpus
+    is a pure function of the seed and lives at a fixed repo path; the
+    oracle reads it via read_parquet so both engines see identical bytes."""
+    from kartograph_spark import rules
+
+    _synth_corpus()  # ensure the parquet exists before the oracle runs
+    path = os.path.join(_ENTRY_CORPUS_DIR, "transcripts.parquet")
+    tr_cte = (
+        "tr AS (SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, text "
+        f"FROM read_parquet('{path}'))"
+    )
+
+    urn_all = "regexp_extract_all(text, '<urn:([^:]+):([^>]+)>', {g})"
+    mentions_sql = f"""
+WITH {tr_cte},
+m AS (
+    SELECT conv_id, turn_idx,
+           unnest({urn_all.format(g=1)}) AS entity_type,
+           unnest({urn_all.format(g=2)}) AS ident,
+           generate_subscripts({urn_all.format(g=0)}, 1) - 1 AS match_idx
+    FROM tr
+),
+d AS (
+    SELECT conv_id, turn_idx,
+           'urn:' || entity_type || ':' || ident AS urn,
+           entity_type, ident,
+           replace(replace(ident, '-', ' '), '_', ' ') AS name,
+           CAST(match_idx AS BIGINT) AS match_idx,
+           row_number() OVER (PARTITION BY conv_id, turn_idx, entity_type, ident
+                              ORDER BY match_idx) AS rn
+    FROM m
+)
+SELECT conv_id, turn_idx, urn, entity_type, ident, name, match_idx
+FROM d WHERE rn = 1
+"""
+
+    # per-kind arms generated from the SAME rule table the engine uses
+    kind_arms, obj_arms, pred_arms, etype_arms = [], [], [], []
+    for kind, pat, pred, etype in rules.VERB_PATTERNS:
+        lit = pat.split("(", 1)[0].replace("\\b", "")
+        kind_arms.append(f"WHEN mtxt LIKE '{lit}%' THEN '{kind}'")
+        obj_arms.append(f"WHEN '{kind}' THEN regexp_extract(mtxt, '{pat}', 1)")
+        pred_arms.append(f"WHEN '{kind}' THEN '{pred}'")
+        etype_arms.append(f"WHEN '{kind}' THEN '{etype}'")
+    comb = rules.COMBINED_POSITION_RE_SQL
+    edges_sql = f"""
+WITH {tr_cte},
+seq AS (
+    SELECT conv_id, turn_idx,
+           unnest(regexp_extract_all(text, '{comb}', 0)) AS mtxt,
+           generate_subscripts(regexp_extract_all(text, '{comb}', 0), 1) AS cpos
+    FROM tr
+),
+cls AS (
+    SELECT conv_id, turn_idx, cpos, mtxt,
+           CASE WHEN mtxt LIKE '<urn:%' THEN 'urn'
+                {' '.join(kind_arms)} END AS kind
+    FROM seq
+),
+anch AS (
+    SELECT *,
+           last_value(CASE WHEN kind = 'urn'
+                           THEN 'urn:' || regexp_extract(mtxt, '<urn:([^:]+):([^>]+)>', 1)
+                                || ':' || regexp_extract(mtxt, '<urn:([^:]+):([^>]+)>', 2)
+                      END IGNORE NULLS)
+             OVER (PARTITION BY conv_id, turn_idx ORDER BY cpos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS anchor
+    FROM cls
+),
+verbs AS (
+    SELECT conv_id, turn_idx, cpos, kind, anchor,
+           CASE kind {' '.join(pred_arms)} END AS pred,
+           CASE kind {' '.join(etype_arms)} END AS etype,
+           CASE kind {' '.join(obj_arms)} END AS obj_name
+    FROM anch WHERE kind <> 'urn'
+),
+rows_ AS (
+    SELECT conv_id, turn_idx, cpos, anchor, pred,
+           'urn:' || etype || ':'
+               || regexp_replace(lower(trim(obj_name)), '[ _]+', '-', 'g') AS obj,
+           row_number() OVER (PARTITION BY conv_id, turn_idx, kind
+                              ORDER BY cpos) - 1 AS match_idx
+    FROM verbs
+),
+dd AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx, coalesce(anchor, ''), pred, obj
+        ORDER BY cpos) AS rn
+    FROM rows_
+)
+SELECT conv_id, turn_idx,
+       coalesce(anchor, 'urn:Conversation:' || conv_id) AS subj,
+       pred, obj, CAST(match_idx AS BIGINT) AS match_idx
+FROM dd WHERE rn = 1
+"""
+    return {
+        "kg_transcript_mentions": mentions_sql,
+        "kg_entity_edges": edges_sql,
+        "kg_pipeline_synthetic": _pipeline_oracle_sql(path),
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        **_transcript_oracle_sql(),
         "kg_doc_mentions": "WITH "
         + _MENTIONS_CTE
         + "SELECT doc_id, term, n_occurrences, first_idx FROM mentions",

@@ -37,7 +37,11 @@ def build_type_normalization(mentions: DataFrame) -> DataFrame:
 
 def apply_type_normalization(mentions: DataFrame, norm: DataFrame) -> DataFrame:
     """Rewrite entity_type and the URN type segment (J6,
-    agent_deduplicator.py:322: prefix rewrite keeps the identifier)."""
+    agent_deduplicator.py:322: prefix rewrite keeps the identifier).
+
+    ``subj_urn`` anchors (verb-mention subjects) carry their own embedded
+    type segment and are rewritten with the same map — the anchor must
+    stay identical to the URN its E1 mention row normalizes to."""
     out = mentions.join(F.broadcast(norm), "entity_type", "left")
     new_type = F.coalesce(F.col("canonical_type"), F.col("entity_type"))
     new_urn = F.when(
@@ -49,9 +53,29 @@ def apply_type_normalization(mentions: DataFrame, norm: DataFrame) -> DataFrame:
             F.regexp_replace(F.col("urn"), r"^urn:[^:]*:", ""),
         ),
     ).otherwise(F.col("urn"))
-    return out.withColumn("entity_type", new_type).withColumn(
+    out = out.withColumn("entity_type", new_type).withColumn(
         "urn", new_urn
     ).drop("canonical_type")
+
+    if "subj_urn" not in out.columns:
+        return out
+    subj_norm = norm.select(
+        F.col("entity_type").alias("_subj_type"),
+        F.col("canonical_type").alias("_subj_canon"),
+    )
+    out = out.withColumn(
+        "_subj_type", F.regexp_extract("subj_urn", r"^urn:([^:]+):", 1)
+    ).join(F.broadcast(subj_norm), "_subj_type", "left")
+    new_subj = F.when(
+        F.col("_subj_canon").isNotNull(),
+        F.concat(
+            F.lit("urn:"),
+            F.col("_subj_canon"),
+            F.lit(":"),
+            F.regexp_replace(F.col("subj_urn"), r"^urn:[^:]*:", ""),
+        ),
+    ).otherwise(F.col("subj_urn"))
+    return out.withColumn("subj_urn", new_subj).drop("_subj_type", "_subj_canon")
 
 
 def coreference_pairs(
@@ -99,6 +123,19 @@ def canonicalize_mentions(
         .withColumn("urn", F.coalesce(F.col("canonical_urn"), F.col("member_urn")))
         .drop("member_urn", "canonical_urn")
     )
+    if "subj_urn" in rewritten.columns:
+        # anchors are E1 urns; route them through the same canonical map
+        scmap = cmap.select(
+            F.col("member_urn").alias("subj_urn"),
+            F.col("canonical_urn").alias("_subj_canon"),
+        )
+        rewritten = (
+            rewritten.join(F.broadcast(scmap), "subj_urn", "left")
+            .withColumn(
+                "subj_urn", F.coalesce(F.col("_subj_canon"), F.col("subj_urn"))
+            )
+            .drop("_subj_canon")
+        )
 
     # Dictionary metadata wins for canonical entities: overwrite
     # entity_type/name where urn is a dictionary canonical.

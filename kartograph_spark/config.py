@@ -28,7 +28,7 @@ class PipelineConfig:
     salt_turns: int = 1024
     #: rule-set version — bump when extraction rules change so lineage
     #: invalidates (config-hash semantics)
-    rules_version: str = "1"
+    rules_version: str = "2"  # v2: entity-subject attribution for verb mentions
     extra: dict = field(default_factory=dict, hash=False, compare=False)
 
     @property

@@ -27,7 +27,13 @@ import pandas as pd
 
 from kartograph_spark import rules
 
-#: Arrow/Spark schema of the mention rows (keep in sync with mentions.py)
+#: Arrow/Spark schema of the mention rows (keep in sync with mentions.py).
+#: subj_urn: for verb-pattern relationship mentions, the URN of the nearest
+#: PRECEDING E1 URN mention in the same turn (the entity the relationship
+#: is attributed to, matching the reference's output contract where uid
+#: triples hang off extracted entities, load_dgraph.py:299-309); NULL for
+#: plain mention kinds and for verb mentions with no anchor in the turn
+#: (downstream falls back to the Conversation subject).
 MENTION_COLUMNS = [
     "conv_id",
     "turn_idx",
@@ -40,6 +46,7 @@ MENTION_COLUMNS = [
     "name",
     "pred",
     "surface",
+    "subj_urn",
 ]
 
 
@@ -57,6 +64,7 @@ def _empty() -> pd.DataFrame:
             "name": pd.Series(dtype="object"),
             "pred": pd.Series(dtype="object"),
             "surface": pd.Series(dtype="object"),
+            "subj_urn": pd.Series(dtype="object"),
         }
     )
 
@@ -91,16 +99,47 @@ def extract_mentions_block(pdf: pd.DataFrame) -> pd.DataFrame:
     text = base["text"].fillna("")
     parts: list[pd.DataFrame] = []
 
-    # E1 — URN mentions (EntityExtractor.ts:18-41)
-    m = text.str.extractall(rules.URN_MENTION_RE)
-    if not m.empty:
-        m.columns = ["entity_type", "ident"]
-        d = _from_extractall(base, m, "urn")
-        d["urn"] = "urn:" + d["entity_type"] + ":" + d["ident"]
-        d["name"] = rules.display_name(d["ident"])
-        d["pred"] = rules.MENTIONS_PRED
-        d["surface"] = "<" + d["urn"] + ">"
-        parts.append(d)
+    # E1 URN mentions + verb patterns: ONE interleaved non-overlapping
+    # scan so document order across the two families is known — each verb
+    # mention is attributed to the nearest preceding E1 mention in the
+    # same turn (subject attribution; anchors and verb phrases cannot
+    # overlap, so per-kind results equal independent scans).
+    cm = text.str.extractall(rules.COMBINED_POSITION_RE)
+    verb_rows: dict[str, pd.DataFrame] = {}
+    if not cm.empty:
+        c = cm.reset_index()
+        c = c.rename(columns={c.columns[0]: "_row"})
+        # nearest preceding anchor per original text row (NaN propagates
+        # through + for verb matches; ffill carries the last E1 urn)
+        c["_anchor"] = "urn:" + c["urn_t"] + ":" + c["urn_i"]
+        c["_anchor"] = c.groupby("_row")["_anchor"].ffill()
+
+        # E1 — URN mentions (EntityExtractor.ts:18-41)
+        u = c[c["urn_t"].notna()]
+        if len(u):
+            d = pd.DataFrame(
+                {
+                    "_row": u["_row"].to_numpy(),
+                    "entity_type": u["urn_t"].to_numpy(),
+                    "ident": u["urn_i"].to_numpy(),
+                    "match_idx": u.groupby("_row").cumcount().to_numpy(),
+                }
+            )
+            d["conv_id"] = base["conv_id"].to_numpy()[d["_row"].to_numpy()]
+            d["turn_idx"] = base["turn_idx"].to_numpy()[d["_row"].to_numpy()]
+            d["kind"] = "urn"
+            d["kind_rank"] = rules.KIND_RANK["urn"]
+            d["urn"] = "urn:" + d["entity_type"] + ":" + d["ident"]
+            d["name"] = rules.display_name(d["ident"])
+            d["pred"] = rules.MENTIONS_PRED
+            d["surface"] = "<" + d["urn"] + ">"
+            d["subj_urn"] = None
+            parts.append(d)
+
+        for kind, _pat, _pred, _etype in rules.VERB_PATTERNS:
+            vk = c[c[kind].notna()]
+            if len(vk):
+                verb_rows[kind] = vk
 
     # E4 — pattern classes (entity_extraction.yaml:77-81)
     for kind, pat, etype, pred in (
@@ -126,15 +165,27 @@ def extract_mentions_block(pdf: pd.DataFrame) -> pd.DataFrame:
         d["entity_type"] = etype
         d["urn"] = "urn:" + etype + ":" + d["ident"]
         d["pred"] = pred
+        d["subj_urn"] = None
         parts.append(d)
 
-    # Free-text verb patterns (PROCESS.md:2123-2199)
-    for kind, pat, pred, etype in rules.VERB_PATTERNS:
-        m = text.str.extractall(pat)
-        if m.empty:
+    # Free-text verb patterns (PROCESS.md:2123-2199) from the combined
+    # scan; subj_urn = nearest preceding E1 anchor in the turn (or None).
+    for kind, _pat, pred, etype in rules.VERB_PATTERNS:
+        vk = verb_rows.get(kind)
+        if vk is None:
             continue
-        m.columns = ["surface"]
-        d = _from_extractall(base, m, kind)
+        d = pd.DataFrame(
+            {
+                "_row": vk["_row"].to_numpy(),
+                "surface": vk[kind].to_numpy(),
+                "subj_urn": vk["_anchor"].to_numpy(),
+                "match_idx": vk.groupby("_row").cumcount().to_numpy(),
+            }
+        )
+        d["conv_id"] = base["conv_id"].to_numpy()[d["_row"].to_numpy()]
+        d["turn_idx"] = base["turn_idx"].to_numpy()[d["_row"].to_numpy()]
+        d["kind"] = kind
+        d["kind_rank"] = rules.KIND_RANK[kind]
         d["name"] = d["surface"]
         d["ident"] = rules.slugify(d["surface"])
         d["entity_type"] = etype
@@ -147,12 +198,19 @@ def extract_mentions_block(pdf: pd.DataFrame) -> pd.DataFrame:
     out = pd.concat(parts, ignore_index=True)
 
     # Per-turn dedupe keep first occurrence by (kind_rank, match_idx)
-    # (EntityExtractor.ts:43-48).
+    # (EntityExtractor.ts:43-48).  Plain mention kinds dedupe per urn as
+    # in the reference (subj_urn NULL, pred constant); verb relationship
+    # mentions dedupe per full (subject, predicate, object) edge — they
+    # are a different operator (relationship emission) and must not be
+    # swallowed by an earlier plain mention of the same object entity.
     out = out.sort_values(
         ["conv_id", "turn_idx", "kind_rank", "match_idx"],
         kind="mergesort",
     )
-    out = out.drop_duplicates(subset=["conv_id", "turn_idx", "urn"], keep="first")
+    out["_sk"] = out["subj_urn"].fillna("")
+    out = out.drop_duplicates(
+        subset=["conv_id", "turn_idx", "_sk", "pred", "urn"], keep="first"
+    ).drop(columns="_sk")
     out["turn_idx"] = out["turn_idx"].astype("int64")
     out["match_idx"] = out["match_idx"].astype("int64")
     out["kind_rank"] = out["kind_rank"].astype("int64")

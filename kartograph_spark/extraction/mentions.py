@@ -41,6 +41,7 @@ MENTION_SCHEMA = T.StructType(
         T.StructField("name", T.StringType()),
         T.StructField("pred", T.StringType()),
         T.StructField("surface", T.StringType()),
+        T.StructField("subj_urn", T.StringType()),
     ]
 )
 

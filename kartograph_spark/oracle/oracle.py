@@ -60,6 +60,12 @@ def oracle_canonicalize(
         ident_part = m["urn"].str.replace(r"^urn:[^:]*:", "", regex=True)
         m.loc[changed, "urn"] = "urn:" + new_type[changed] + ":" + ident_part[changed]
         m["entity_type"] = new_type
+        # subject anchors: same type-segment rewrite
+        st = m["subj_urn"].str.extract(r"^urn:([^:]+):")[0]
+        sc = st.map(lambda t: norm.get(t) if isinstance(t, str) else None)
+        has = sc.notna()
+        sid = m["subj_urn"].str.replace(r"^urn:[^:]*:", "", regex=True)
+        m.loc[has, "subj_urn"] = "urn:" + sc[has] + ":" + sid[has]
 
     # alias dictionary: collision rule = min canonical_urn per alias_norm
     ad = (
@@ -104,6 +110,9 @@ def oracle_canonicalize(
             rep_of[mem] = rep
 
     m["urn"] = m["urn"].map(lambda u: rep_of.get(u, u))
+    m["subj_urn"] = m["subj_urn"].map(
+        lambda u: rep_of.get(u, u) if isinstance(u, str) else u
+    )
 
     # dictionary metadata overwrite for canonical entities
     meta = (
@@ -147,11 +156,14 @@ def oracle_triples(
     )
 
     parts: list[pd.DataFrame] = []
-    # edges
+    # edges: verb mentions hang off their attributed entity anchor,
+    # everything else off the Conversation subject
     parts.append(
         pd.DataFrame(
             {
-                "subj": "urn:Conversation:" + mentions["conv_id"],
+                "subj": mentions["subj_urn"].fillna(
+                    "urn:Conversation:" + mentions["conv_id"]
+                ),
                 "pred": rules.clean_predicate(mentions["pred"]),
                 "obj": mentions["urn"],
                 "obj_is_ref": True,

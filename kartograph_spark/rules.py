@@ -60,6 +60,41 @@ VERB_PATTERNS: list[tuple[str, str, str, str]] = [
     ),
 ]
 
+def combined_position_re() -> str:
+    """One alternation regex over E1 URNs + all verb patterns, used to
+    recover the interleaved document-order of anchors and relationship
+    mentions in a single non-overlapping scan (the patterns are mutually
+    non-overlapping: URNs are '<urn:...>'-bracketed, verb phrases start
+    with distinct lowercase literals and their objects cannot contain
+    '<').  The same string works in Python re and RE2 (DuckDB), so the
+    driver oracle replays the exact scan.
+
+    Groups: urn_t/urn_i for the URN type/id segments, one named group per
+    verb kind holding the captured object.
+    """
+    import re as _re2
+
+    parts = [r"<urn:(?P<urn_t>[^:]+):(?P<urn_i>[^>]+)>"]
+    for kind, pat, _pred, _etype in VERB_PATTERNS:
+        # name the (single) capture group after the kind
+        parts.append(_re2.sub(r"\((?!\?)", f"(?P<{kind}>", pat, count=1))
+    return "|".join(parts)
+
+
+def combined_position_re_sql() -> str:
+    """RE2-safe variant with no capture groups (DuckDB extracts group 0)."""
+    import re as _re2
+
+    parts = [r"<urn:[^:]+:[^>]+>"]
+    for _kind, pat, _pred, _etype in VERB_PATTERNS:
+        parts.append(_re2.sub(r"\((?!\?)", "(?:", pat, count=1))
+    return "|".join(parts)
+
+
+#: combined scan patterns, built once at import
+COMBINED_POSITION_RE = combined_position_re()
+COMBINED_POSITION_RE_SQL = combined_position_re_sql()
+
 # Validity rules (models.py:41-69)
 URN_VALID_RE = r"^urn:[A-Z][A-Za-z0-9_]*:.+$"
 TYPE_VALID_RE = r"^[A-Z][A-Za-z0-9_]*$"

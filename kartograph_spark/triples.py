@@ -96,11 +96,16 @@ def mention_triples(mentions: DataFrame) -> DataFrame:
         dtype.alias("dtype"),
     )
     escaped_name = escape_literal_col(F.col("name"))
+    # Edge subject: the attributed entity anchor for verb-pattern
+    # relationship mentions (reference output contract — uid triples hang
+    # off extracted entities, load_dgraph.py:299-309), falling back to the
+    # Conversation subject for plain mentions / anchorless verb mentions.
+    edge_subj = F.coalesce(F.col("subj_urn"), conv_subject_col())
     exploded = mentions.select(
         F.explode(
             F.array(
                 trip(
-                    conv_subject_col(),
+                    edge_subj,
                     clean_predicate_col(F.col("pred")),
                     F.col("urn"),
                     F.lit(True),

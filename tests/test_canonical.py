@@ -42,6 +42,7 @@ def _mentions_df(spark, rows):
             r.get("name", "x"),
             r.get("pred", "usesTool"),
             r.get("surface", "x"),
+            r.get("subj_urn"),
         )
         for r in rows
     ]

@@ -105,6 +105,44 @@ def test_verb_patterns():
     assert by_pred["writtenIn"] == "urn:ProgrammingLanguage:go"
 
 
+def test_verb_subject_attribution_nearest_preceding():
+    m = extract_mentions_block(
+        _turns(
+            "Check <urn:Service:api.v2> then <urn:Service:node-42> — "
+            "it uses Kafka and is maintained by the SRE team."
+        )
+    )
+    verbs = m[m["pred"] != "mentions"]
+    # both verb mentions attach to the NEAREST preceding anchor
+    assert set(verbs["subj_urn"]) == {"urn:Service:node-42"}
+    # plain mentions carry no subject
+    assert m[m["pred"] == "mentions"]["subj_urn"].isna().all()
+
+
+def test_verb_subject_fallback_no_anchor():
+    m = extract_mentions_block(_turns("service uses Redis for caching"))
+    assert len(m) == 1
+    assert pd.isna(m.iloc[0]["subj_urn"])
+
+
+def test_verb_anchor_does_not_cross_turns():
+    m = extract_mentions_block(
+        _turns("<urn:Application:payment-service> deployed", "it uses Vault")
+    )
+    verb = m[m["pred"] == "usesTool"].iloc[0]
+    assert pd.isna(verb["subj_urn"])  # anchor is in the previous turn
+
+
+def test_verb_edge_survives_same_urn_mention():
+    # an E1 mention of urn:Tool:vault must NOT swallow the relationship
+    # edge to the same entity (different operator, different dedupe key)
+    m = extract_mentions_block(
+        _turns("<urn:Tool:vault> is used: <urn:Service:a> uses Vault")
+    )
+    assert (m["pred"] == "usesTool").sum() == 1
+    assert (m["pred"] == "mentions").sum() == 2
+
+
 def test_spark_matches_pandas_core(spark, transcripts_df, transcripts_pdf):
     got = (
         extract_mentions(transcripts_df)
