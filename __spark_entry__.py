@@ -237,6 +237,29 @@ _COSINE_CTE = """
 e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
 """
 
+
+def _lsh_band_cte() -> str:
+    """Banded hyperplane buckets — generated from the SAME deterministic
+    ±1 matrix the Spark queries use (similarity.lsh_plane_matrix), so the
+    two engines bucket identically."""
+    from kartograph_spark.datapipe.similarity import (
+        DEFAULT_N_BANDS,
+        DEFAULT_N_PLANES,
+        lsh_plane_matrix,
+    )
+
+    m = lsh_plane_matrix(DEFAULT_N_BANDS, DEFAULT_N_PLANES)
+    selects = []
+    for b, planes in enumerate(m):
+        terms = " + ".join(
+            "(CASE WHEN list_dot_product(emb, ["
+            + ", ".join(str(float(c)) for c in coeffs)
+            + f"]) > 0 THEN {1 << p} ELSE 0 END)"
+            for p, coeffs in enumerate(planes)
+        )
+        selects.append(f"SELECT vec_id, emb, {b} AS band, {terms} AS bucket FROM e")
+    return "bb AS (" + " UNION ALL ".join(selects) + ")"
+
 # hex nibble -> int (DuckDB has no hex-string cast; strpos over the
 # alphabet is exact and engine-portable)
 _NIBBLE = "strpos('0123456789abcdef', substr(md5(t), {i}, 1)) - 1"
@@ -816,19 +839,19 @@ SELECT * FROM (
 """,
         "dedup_embedding_cosine": "WITH "
         + _COSINE_CTE
+        + ", "
+        + _lsh_band_cte()
         + """
-, b AS (
-    SELECT vec_id, emb,
-           (emb[1] > 0)::INT * 1 + (emb[2] > 0)::INT * 2 + (emb[3] > 0)::INT * 4
-         + (emb[4] > 0)::INT * 8 + (emb[5] > 0)::INT * 16 + (emb[6] > 0)::INT * 32
-         + (emb[7] > 0)::INT * 64 + (emb[8] > 0)::INT * 128 AS bucket
-    FROM e
+, cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+                       AND a.vec_id < b.vec_id
 )
 SELECT * FROM (
-    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-           round(list_dot_product(a.emb, c.emb)
-                 / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(c.emb, c.emb))), 4) AS cosine
-    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    SELECT c.vec_a, c.vec_b,
+           round(list_dot_product(ea.emb, eb.emb)
+                 / (sqrt(list_dot_product(ea.emb, ea.emb)) * sqrt(list_dot_product(eb.emb, eb.emb))), 4) AS cosine
+    FROM cand c JOIN e ea ON c.vec_a = ea.vec_id JOIN e eb ON c.vec_b = eb.vec_id
 ) WHERE cosine >= 0.35
 """,
         "sim_cosine_neighbors": "WITH "
@@ -859,24 +882,23 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 4) AS cos
 """,
         "sim_ann_lsh": "WITH "
         + _COSINE_CTE
+        + ", "
+        + _lsh_band_cte()
         + """
-, b AS (
-    SELECT vec_id, emb,
-           (emb[1] > 0)::INT * 1 + (emb[2] > 0)::INT * 2 + (emb[3] > 0)::INT * 4
-         + (emb[4] > 0)::INT * 8 + (emb[5] > 0)::INT * 16 + (emb[6] > 0)::INT * 32
-         + (emb[7] > 0)::INT * 64 + (emb[8] > 0)::INT * 128 AS bucket
-    FROM e
+, cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+    FROM bb q JOIN bb n ON q.band = n.band AND q.bucket = n.bucket
+    WHERE q.vec_id < 10 AND q.vec_id <> n.vec_id
 )
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 4) AS cosine FROM (
-    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           list_dot_product(q.emb, c.emb)
-             / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb))) AS sim,
-           row_number() OVER (PARTITION BY q.vec_id
-                              ORDER BY list_dot_product(q.emb, c.emb)
-                                / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb))) DESC,
-                              c.vec_id) AS rank
-    FROM b q JOIN b c ON q.bucket = c.bucket
-    WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+    SELECT c.query_id, c.neighbor_id,
+           list_dot_product(eq.emb, en.emb)
+             / (sqrt(list_dot_product(eq.emb, eq.emb)) * sqrt(list_dot_product(en.emb, en.emb))) AS sim,
+           row_number() OVER (PARTITION BY c.query_id
+                              ORDER BY list_dot_product(eq.emb, en.emb)
+                                / (sqrt(list_dot_product(eq.emb, eq.emb)) * sqrt(list_dot_product(en.emb, en.emb))) DESC,
+                              c.neighbor_id) AS rank
+    FROM cand c JOIN e eq ON c.query_id = eq.vec_id JOIN e en ON c.neighbor_id = en.vec_id
 ) WHERE rank <= 5
 """,
         "mm_media_features": """

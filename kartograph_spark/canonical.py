@@ -105,17 +105,22 @@ def canonicalize_mentions(
     canonical entity inherits the dictionary's display name/type where a
     dictionary canonical won (J4 coalesce,
     agent_deduplicator.py:344-378)."""
+    spark = mentions.sparkSession
     norm = build_type_normalization(mentions)
     # typed is NOT persisted: it is a map-side broadcast join over the
     # (persisted) mention frame, so recomputing it for pair generation and
     # for the final rewrite is cheaper than a corpus-sized cache write
     typed = apply_type_normalization(mentions, norm)
 
-    pairs = coreference_pairs(typed, alias_dict, confidence_threshold)
-    preferred = alias_dict.select(
-        F.col("canonical_urn").alias("urn")
-    ).distinct()
-    cmap = canonical_map(pairs, preferred=preferred)
+    # The alias dictionary is entity-vocabulary-sized by contract (it is
+    # what gets broadcast) — collect it ONCE and derive the preferred set
+    # and dictionary metadata locally, instead of three separate scan /
+    # collect jobs whose scheduling latency is pure Amdahl overhead.
+    alias_pdf = alias_dict.toPandas()
+    alias_local = spark.createDataFrame(alias_pdf)
+
+    pairs = coreference_pairs(typed, alias_local, confidence_threshold)
+    cmap = canonical_map(pairs, preferred=set(alias_pdf["canonical_urn"]))
 
     rewritten = (
         typed.withColumnRenamed("urn", "member_urn")
@@ -138,14 +143,22 @@ def canonicalize_mentions(
         )
 
     # Dictionary metadata wins for canonical entities: overwrite
-    # entity_type/name where urn is a dictionary canonical.
-    dict_meta = (
-        alias_dict.groupBy("canonical_urn")
+    # entity_type/name where urn is a dictionary canonical.  Aggregated
+    # locally on the already-collected dictionary (no extra scan job).
+    meta_pdf = (
+        alias_pdf.groupby("canonical_urn")
         .agg(
-            F.min("entity_type").alias("_dict_type"),
-            F.min("canonical_name").alias("_dict_name"),
+            _dict_type=("entity_type", "min"),
+            _dict_name=("canonical_name", "min"),
         )
-        .withColumnRenamed("canonical_urn", "urn")
+        .reset_index()
+        .rename(columns={"canonical_urn": "urn"})
+    )
+    meta_schema = "urn string, _dict_type string, _dict_name string"
+    dict_meta = (
+        spark.createDataFrame(meta_pdf[["urn", "_dict_type", "_dict_name"]])
+        if len(meta_pdf)
+        else spark.createDataFrame([], meta_schema)
     )
     final = (
         rewritten.join(F.broadcast(dict_meta), "urn", "left")

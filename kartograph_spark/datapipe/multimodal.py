@@ -137,42 +137,33 @@ def resize_media(media: DataFrame, target: int = 224) -> DataFrame:
     ).mapInPandas(_resize_batches(target), schema=RESIZE_SCHEMA)
 
 
-FRAME_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("frame_idx", T.IntegerType()),
-        T.StructField("frame_offset", T.LongType()),
-        T.StructField("frame", T.BinaryType()),
-    ]
-)
-
-
-def _frame_batches(stride: int, max_frames: int):
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n = min(max_frames, max(1, len(payload) // stride))
-                for i in range(n):
-                    off = i * stride
-                    rows.append((doc_id, i, off, bytes(payload[off : off + stride])))
-            out = pd.DataFrame(
-                rows, columns=["doc_id", "frame_idx", "frame_offset", "frame"]
-            )
-            out["frame_idx"] = out["frame_idx"].astype("int32")
-            out["frame_offset"] = out["frame_offset"].astype("int64")
-            yield out
-
-    return gen
-
-
 def sample_frames(
     media: DataFrame, stride: int = 64, max_frames: int = 8
 ) -> DataFrame:
     """UDTF-shaped frame sampling: one binary payload -> up to
     ``max_frames`` fixed-stride frames (the video analog; byte-slice
-    windows stand in for the stubbed codec).  Output is one row per frame,
-    ready for a per-frame feature UDF downstream."""
-    return media.select("doc_id", "payload").mapInPandas(
-        _frame_batches(stride, max_frames), schema=FRAME_SCHEMA
+    windows stand in for the stubbed codec).
+
+    Entirely JVM-side (whole-stage codegen): frame indices come from
+    ``sequence()`` + ``explode`` and the byte windows from ``substring``
+    on the binary column — no Python in the path at all.  The per-frame
+    decode/feature step that would need a codec runs as a downstream
+    Arrow-batched pandas UDF over these rows (see ``extract_features``).
+    """
+    n = F.least(
+        F.lit(max_frames),
+        F.greatest(F.lit(1), F.floor(F.octet_length("payload") / stride)),
+    ).cast("int")
+    exploded = media.select(
+        "doc_id",
+        "payload",
+        F.explode(F.sequence(F.lit(0), n - 1)).alias("frame_idx"),
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        (F.col("frame_idx").cast("long") * stride).alias("frame_offset"),
+        F.expr(
+            f"substring(payload, frame_idx * {stride} + 1, {stride})"
+        ).alias("frame"),
     )

@@ -66,8 +66,19 @@ class TableStore:
         )
 
 
-def build_nodes(triples: DataFrame) -> DataFrame:
-    """First-occurrence node table from dgraph.type / name triples."""
+def build_nodes(triples: DataFrame, strategy: str = "first") -> DataFrame:
+    """Node table from dgraph.type / name triples.
+
+    ``strategy`` mirrors the reference's urn_merge_strategy
+    (urn_deduplicator.py:80-90): 'first' keeps the earliest record's
+    attributes under stable (conv_id, turn_idx) order, 'last' the
+    latest.  (The 'merge_predicates' strategy is the triple table itself
+    — union of distinct (pred, obj) per subject, operator A2.)
+    Single map-side-combinable aggregation either way.
+    """
+    if strategy not in ("first", "last"):
+        raise ValueError(f"unknown dedup strategy: {strategy}")
+    pick = F.min if strategy == "first" else F.max
     types = triples.filter(F.col("pred") == rules.DGRAPH_TYPE_PRED).select(
         F.col("subj").alias("urn"),
         F.col("obj").alias("type"),
@@ -81,10 +92,10 @@ def build_nodes(triples: DataFrame) -> DataFrame:
         "turn_idx",
     )
     first_type = types.groupBy("urn").agg(
-        F.min(F.struct("conv_id", "turn_idx", "type")).alias("t")
+        pick(F.struct("conv_id", "turn_idx", "type")).alias("t")
     )
     first_name = names.groupBy("urn").agg(
-        F.min(F.struct("conv_id", "turn_idx", "name")).alias("n")
+        pick(F.struct("conv_id", "turn_idx", "name")).alias("n")
     )
     return first_type.join(first_name, "urn", "left").select(
         "urn",

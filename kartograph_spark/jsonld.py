@@ -27,6 +27,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from kartograph_spark.triples import to_nquads
 
@@ -143,6 +144,107 @@ def load_jsonld_document(spark: SparkSession, path: str) -> DataFrame:
         F.col("e.name").alias("name"),
         F.col("e").alias("entity"),
     )
+
+
+#: reserved JSON-LD keys that are NOT open properties (models.py:159-160)
+RESERVED_KEYS = {"@id", "@type", "name", "description", "@context"}
+
+
+def _property_rows(base: DataFrame, pred: str, vdt: T.DataType) -> DataFrame:
+    """One property value column ``v`` -> normalized triple rows."""
+    v = F.col("v")
+    urn = F.col("urn")
+    lit = F.lit
+    if isinstance(vdt, T.StructType) and "@id" in vdt.fieldNames():
+        # entity reference dict — keep as ref (models.py:105-110)
+        out = base.select(
+            urn.alias("subj"), lit(pred).alias("pred"),
+            v.getField("@id").alias("obj"),
+            lit(True).alias("obj_is_ref"), lit("uid").alias("dtype"),
+        )
+    elif isinstance(vdt, T.StructType):
+        # nested non-ref dict — JSON-stringified at load
+        # (load_dgraph.py:318-322); empty objects skipped (:316-317)
+        obj = F.to_json(v)
+        out = base.select(
+            urn.alias("subj"), lit(pred).alias("pred"), obj.alias("obj"),
+            lit(False).alias("obj_is_ref"), lit("string").alias("dtype"),
+        ).filter(F.col("obj") != "{}")
+    elif isinstance(vdt, T.StringType):
+        # plain 'urn:' strings promoted to refs (models.py:114-117)
+        is_ref = v.startswith("urn:")
+        out = base.select(
+            urn.alias("subj"), lit(pred).alias("pred"), v.alias("obj"),
+            is_ref.alias("obj_is_ref"),
+            F.when(is_ref, "uid").otherwise("string").alias("dtype"),
+        )
+    elif isinstance(vdt, T.BooleanType):
+        out = base.select(
+            urn.alias("subj"), lit(pred).alias("pred"),
+            F.when(v, "true").otherwise("false").alias("obj"),
+            lit(False).alias("obj_is_ref"), lit("bool").alias("dtype"),
+        )
+    elif isinstance(vdt, (T.DoubleType, T.FloatType, T.DecimalType)):
+        out = base.select(
+            urn.alias("subj"), lit(pred).alias("pred"),
+            v.cast("string").alias("obj"),
+            lit(False).alias("obj_is_ref"), lit("float").alias("dtype"),
+        )
+    else:  # integral
+        out = base.select(
+            urn.alias("subj"), lit(pred).alias("pred"),
+            v.cast("string").alias("obj"),
+            lit(False).alias("obj_is_ref"), lit("int").alias("dtype"),
+        )
+    return out.filter(F.col("obj").isNotNull())
+
+
+def jsonld_property_triples(ents: DataFrame) -> DataFrame:
+    """P3 property normalization (models.py:71-119 + load_dgraph.py:318-322)
+    as a schema-driven relational transform over loaded JSON-LD entities:
+
+    - nested lists are flattened and ``null`` items dropped,
+    - ``{"@id": urn}`` dicts and plain ``urn:`` strings become ref triples,
+    - other nested dicts are JSON-stringified string literals
+      (empty objects skipped),
+    - scalars become typed literals; ``null`` properties are dropped.
+
+    The property set comes from the inferred schema (driver-side plan
+    construction — no per-row Python), so the transform stays entirely in
+    whole-stage codegen regardless of how many entities there are.
+    Output: (subj, pred, obj, obj_is_ref, dtype) — the triple contract.
+    """
+    entity_dt = ents.schema["entity"].dataType
+    parts: list[DataFrame] = []
+    for f in entity_dt.fields:
+        if f.name in RESERVED_KEYS:
+            continue
+        col = F.col("entity").getField(f.name)
+        dt = f.dataType
+        # flatten arbitrarily nested lists, dropping nulls at each level
+        while isinstance(dt, T.ArrayType) and isinstance(
+            dt.elementType, T.ArrayType
+        ):
+            col = F.flatten(F.filter(col, lambda x: x.isNotNull()))
+            dt = T.ArrayType(dt.elementType.elementType)
+        if isinstance(dt, T.ArrayType):
+            base = ents.select(
+                "urn",
+                F.explode(F.filter(col, lambda x: x.isNotNull())).alias("v"),
+            )
+            vdt = dt.elementType
+        else:
+            base = ents.select("urn", col.alias("v"))
+            vdt = dt
+        parts.append(_property_rows(base, f.name, vdt))
+    if not parts:
+        return ents.sparkSession.createDataFrame(
+            [], "subj string, pred string, obj string, obj_is_ref boolean, dtype string"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def write_nquads(triples: DataFrame, out_dir: str) -> None:

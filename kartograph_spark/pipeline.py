@@ -42,6 +42,11 @@ from kartograph_spark.lineage import (
     record_completed,
     write_metrics,
 )
+from kartograph_spark.reports import (
+    ERROR_COLS,
+    save_metrics_reports,
+    save_validation_reports,
+)
 
 
 def bucket_col(n_buckets: int):
@@ -144,16 +149,18 @@ def build_triples(
         tr.conversation_triples(transcripts)
     )
     # persist the deduped triples, not the encoded ones: the uid-predicate
-    # broadcast (resolve, a global second pass) and the validation fan-out
+    # collect (resolve, a global second pass) and the validation fan-out
     # (scalars / kept refs / node set) would otherwise each replay the
     # extraction->rewrite->explode map work and the dedup shuffle; the
     # downstream encode/filters are cheap column maps over the cache.
-    # count() materializes the cache EAGERLY: AQE submits the downstream
-    # branches concurrently, and a lazily-persisted frame makes each racing
-    # branch compute the full dedup independently (observed 6x recompute).
+    # The uid-predicate collect IS the eager materialization action: it
+    # computes every partition into the cache (AQE would otherwise race
+    # the downstream branches into independent recomputes — observed 6x)
+    # while returning the resolve input, one job instead of two.
     deduped = tr.dedup_first_occurrence(raw).persist()
-    deduped.count()
-    resolved = tr.resolve_mixed_type_predicates(deduped)
+    resolved = tr.apply_uid_resolution(
+        deduped, tr.collect_uid_predicates(deduped)
+    )
     encoded = tr.encode_final(resolved)
     return val.split_broken_refs(encoded)
 
@@ -178,12 +185,13 @@ def run_pipeline(
     raw = tr.mention_triples(canonical).unionByName(
         tr.conversation_triples(transcripts)
     )
-    # persist + eager count mirrors build_triples: resolve's uid-predicate
-    # collect and the validation fan-out would otherwise each recompute the
-    # full canonicalize -> explode -> dedup-shuffle chain.
+    # persist + eager materialization mirrors build_triples: the uid-
+    # predicate collect doubles as the cache fill so the validation
+    # fan-out never recomputes the dedup-shuffle chain.
     deduped = tr.dedup_first_occurrence(raw).persist()
-    deduped.count()
-    resolved = tr.resolve_mixed_type_predicates(deduped)
+    resolved = tr.apply_uid_resolution(
+        deduped, tr.collect_uid_predicates(deduped)
+    )
     encoded = tr.encode_final(resolved)
 
     kept, broken = val.split_broken_refs(encoded)
@@ -220,4 +228,20 @@ def run_pipeline(
         "config_hash": cfg.config_hash,
     }
     write_metrics(out_dir, metrics)
+    # S11/S12 report formats (metrics CSV/MD, validation MD/text).  The
+    # error table is vocabulary-sized (distinct invalid URNs / types;
+    # broken refs are empty by construction here) — cap the collect so an
+    # adversarial input can't flood the driver; the report renders counts
+    # + first-N samples, matching the reference's truncation.
+    ebt = {
+        r["type"]: r["n"]
+        for r in store.read("graph_nodes")
+        .groupBy("type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    save_metrics_reports(out_dir, metrics, ebt)
+    save_validation_reports(
+        out_dir, errors.limit(100_000).toPandas()[ERROR_COLS]
+    )
     return metrics

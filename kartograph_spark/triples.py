@@ -203,13 +203,15 @@ def conversation_triples(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def dedup_first_occurrence(triples: DataFrame) -> DataFrame:
+def dedup_first_occurrence(triples: DataFrame, keep: str = "first") -> DataFrame:
     """Operator A1/A2 + W1: distinct (subj,pred,obj) with first-emission
     provenance under stable (conv_id, turn_idx, kind_rank, match_idx) order.
 
     Merge semantics match urn_deduplicator.py:102-156: conflicting (pred,
     obj) values survive as distinct triples (union of distinct pairs);
-    first occurrence wins provenance.
+    first occurrence wins provenance.  ``keep='last'`` flips the
+    provenance pick to the latest emission (urn_merge_strategy 'last',
+    urn_deduplicator.py:83-85) — same single aggregation.
 
     The (turn_idx, kind_rank, match_idx) tail of the ordering is packed
     into one long (order-preserving: kind_rank >= -1 offset by 1,
@@ -223,6 +225,9 @@ def dedup_first_occurrence(triples: DataFrame) -> DataFrame:
     from kartograph_spark import rules as _rules
 
     assert max(_rules.KIND_RANK.values()) < 15, "kind_rank overflows packed field"
+    if keep not in ("first", "last"):
+        raise ValueError(f"unknown dedup keep strategy: {keep}")
+    pick = F.min if keep == "first" else F.max
     packed = (
         F.col("turn_idx") * F.lit(1 << 24)
         + (F.col("kind_rank") + 1) * F.lit(1 << 20)
@@ -231,7 +236,7 @@ def dedup_first_occurrence(triples: DataFrame) -> DataFrame:
     return (
         triples.withColumn("_pk", packed)
         .groupBy("subj", "pred", "obj", "obj_is_ref", "dtype")
-        .agg(F.min(F.struct("conv_id", "_pk")).alias("prov"))
+        .agg(pick(F.struct("conv_id", "_pk")).alias("prov"))
         .select(
             "subj",
             "pred",
@@ -244,20 +249,20 @@ def dedup_first_occurrence(triples: DataFrame) -> DataFrame:
     )
 
 
-def resolve_mixed_type_predicates(triples: DataFrame) -> DataFrame:
-    """uid > scalar resolution (load_dgraph.py:172-206, 324-346): drop
-    scalar triples whose predicate is observed as uid anywhere.
-
-    The uid-predicate set is tiny (distinct predicate names): collect it
-    to the driver (map-side partial distinct -> tiny shuffle) and inline
-    the exclusion as an isin predicate — avoids a BroadcastExchange whose
-    single-task build stage sits on the critical path.
-    """
-    uid_preds = [
+def collect_uid_predicates(triples: DataFrame) -> list[str]:
+    """Distinct predicates observed as uid — tiny by construction.  When
+    ``triples`` is freshly persisted, this collect doubles as the eager
+    cache materialization (one action instead of count + collect)."""
+    return [
         r["pred"]
         for r in triples.filter(F.col("obj_is_ref")).select("pred").distinct().collect()
     ]
-    if not uid_preds:  # no ref triples at all -> nothing to drop
+
+
+def apply_uid_resolution(triples: DataFrame, uid_preds: list[str]) -> DataFrame:
+    """Filter step of the uid > scalar resolution given a precollected
+    predicate set (pure column predicate, no extra job)."""
+    if not uid_preds:
         return triples
     # pred.isNull() guard: NULL ~isin(...) is NULL and would silently drop
     # null-predicate scalars (unreachable with clean_predicate_col output,
@@ -267,6 +272,18 @@ def resolve_mixed_type_predicates(triples: DataFrame) -> DataFrame:
         | F.col("pred").isNull()
         | ~F.col("pred").isin(uid_preds)
     )
+
+
+def resolve_mixed_type_predicates(triples: DataFrame) -> DataFrame:
+    """uid > scalar resolution (load_dgraph.py:172-206, 324-346): drop
+    scalar triples whose predicate is observed as uid anywhere.
+
+    The uid-predicate set is tiny (distinct predicate names): collect it
+    to the driver (map-side partial distinct -> tiny shuffle) and inline
+    the exclusion as an isin predicate — avoids a BroadcastExchange whose
+    single-task build stage sits on the critical path.
+    """
+    return apply_uid_resolution(triples, collect_uid_predicates(triples))
 
 
 def encode_final(triples: DataFrame) -> DataFrame:

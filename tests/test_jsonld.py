@@ -55,6 +55,63 @@ def test_jsonld_distributed_sink(spark, transcripts_df, alias_df, tmp_path):
         assert "@id" in first
 
 
+def test_p3_property_normalization(spark, tmp_path):
+    """P3 rules transcribed from the reference's normalization semantics
+    (models.py:71-119 _normalize_property_value, load_dgraph.py:314-322):
+    nested-list flattening, None dropping, urn-string promotion to refs,
+    @id dicts kept as refs, non-ref dicts JSON-stringified."""
+    doc = {
+        "@context": {"@vocab": "urn:kartograph:"},
+        "@graph": [
+            {
+                "@id": "urn:Service:payment-api",
+                "@type": "Service",
+                "name": "Payment API",
+                "description": "handles payments",  # reserved, not a prop
+                # plain urn string -> promoted to ref (models.py:114-117)
+                "dependsOn": "urn:Service:auth-service",
+                # ref dict kept as ref (models.py:105-110)
+                "ownedBy": {"@id": "urn:Team:platform"},
+                # nested list flattened, None dropped (models.py:88-103)
+                "tags": [["a", "b"], None, ["urn:Tag:hot"]],
+                # plain list of scalars
+                "envs": ["dev", "prod"],
+                # non-ref dict -> JSON string literal (load_dgraph.py:318-322)
+                "config": {"retries": 3},
+                # scalars -> typed literals
+                "replicas": 4,
+                "cpu": 1.5,
+                "active": True,
+                # None property dropped entirely
+                "legacy": None,
+            },
+        ],
+    }
+    p = tmp_path / "p3.jsonld"
+    p.write_text(json.dumps(doc))
+    ents = jsonld.load_jsonld_document(spark, str(p))
+    rows = {
+        (r["pred"], r["obj"]): (r["obj_is_ref"], r["dtype"])
+        for r in jsonld.jsonld_property_triples(ents).collect()
+    }
+    assert rows[("dependsOn", "urn:Service:auth-service")] == (True, "uid")
+    assert rows[("ownedBy", "urn:Team:platform")] == (True, "uid")
+    # flattened list: scalars stay literals, urn member becomes a ref
+    assert rows[("tags", "a")] == (False, "string")
+    assert rows[("tags", "b")] == (False, "string")
+    assert rows[("tags", "urn:Tag:hot")] == (True, "uid")
+    assert rows[("envs", "dev")] == (False, "string")
+    assert rows[("envs", "prod")] == (False, "string")
+    assert rows[("config", '{"retries":3}')] == (False, "string")
+    assert rows[("replicas", "4")] == (False, "int")
+    assert rows[("cpu", "1.5")] == (False, "float")
+    assert rows[("active", "true")] == (False, "bool")
+    assert not any(pred == "legacy" for pred, _ in rows)
+    assert not any(pred == "description" for pred, _ in rows)
+    # exactly the expected triple set, nothing extra
+    assert len(rows) == 11
+
+
 def test_nquads_export(spark, transcripts_df, alias_df, tmp_path):
     _, _, kept = _graph(spark, transcripts_df, alias_df)
     out = str(tmp_path / "nq")

@@ -115,3 +115,43 @@ def test_first_occurrence_dedup(spark):
     out = tr.dedup_first_occurrence(df).collect()
     assert len(out) == 1
     assert (out[0]["conv_id"], out[0]["turn_idx"]) == ("c1", 2)
+
+
+def test_dedup_keep_last_strategy(spark):
+    """urn_merge_strategy 'last' (urn_deduplicator.py:83-85): latest
+    emission wins provenance."""
+    rows = [
+        ("s", "p", "o", True, "uid", "c2", 5, 0, 0),
+        ("s", "p", "o", True, "uid", "c1", 9, 0, 0),
+        ("s", "p", "o", True, "uid", "c1", 2, 3, 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_ref boolean, dtype string,"
+        " conv_id string, turn_idx long, kind_rank long, match_idx long",
+    )
+    out = tr.dedup_first_occurrence(df, keep="last").collect()
+    assert len(out) == 1
+    assert (out[0]["conv_id"], out[0]["turn_idx"]) == ("c2", 5)
+
+
+def test_build_nodes_first_vs_last(spark):
+    """Reference first/last cases (tests/unit/test_deduplication.py:41-100):
+    duplicate URN, strategy picks which record's attributes survive."""
+    from kartograph_spark.graph import build_nodes
+
+    rows = [
+        ("urn:Service:api1", "dgraph.type", "Service", False, "string", "c1", 0),
+        ("urn:Service:api1", "name", "API 1 - First", False, "string", "c1", 0),
+        ("urn:Service:api1", "dgraph.type", "Service", False, "string", "c1", 5),
+        ("urn:Service:api1", "name", "API 1 - Second", False, "string", "c1", 5),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_ref boolean, dtype string,"
+        " conv_id string, turn_idx long",
+    )
+    first = build_nodes(df, strategy="first").collect()[0]
+    assert first["name"] == "API 1 - First" and first["first_turn_idx"] == 0
+    last = build_nodes(df, strategy="last").collect()[0]
+    assert last["name"] == "API 1 - Second" and last["first_turn_idx"] == 5
