@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_first_mention": textstats.first_mention,
         "text_lang_quality": textstats.lang_quality,
         "text_fingerprints": textstats.fingerprints,
+        "text_bpe_tokens": textstats.bpe_tokens,
         # dedup family
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_signatures": dedup.minhash_signatures,
@@ -145,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_neighbors": similarity.cosine_neighbors,
         "sim_knn_topk": similarity.knn_topk,
         "sim_ann_lsh": similarity.ann_lsh,
+        "sim_ann_ivf": similarity.ann_ivf,
         # multimodal plumbing
         "mm_media_features": multimodal.media_features,
         "mm_resize_meta": lambda spark, sf: multimodal.resize_media(
@@ -236,6 +238,66 @@ sigs AS (
 _COSINE_CTE = """
 e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
 """
+
+
+def _bpe_tokens_sql() -> str:
+    """BPE-ish token counts — same regex constant the Spark query uses."""
+    from kartograph_spark.datapipe.textstats import BPE_RE
+
+    pat = BPE_RE.replace("'", "''")
+    nonws = (
+        f"list_filter(regexp_extract_all(text, '{pat}', 0), "
+        "t -> NOT regexp_matches(t, '^\\s+$'))"
+    )
+    return f"""
+SELECT doc_id,
+       CAST(len({nonws}) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_distinct({nonws})) AS BIGINT) AS n_distinct_bpe
+FROM documents
+"""
+
+
+_COSINE_EXPR = (
+    "list_dot_product({a}.emb, {b}.emb)"
+    " / (sqrt(list_dot_product({a}.emb, {a}.emb))"
+    " * sqrt(list_dot_product({b}.emb, {b}.emb)))"
+)
+
+_IVF_SQL = (
+    "WITH "
+    + _COSINE_CTE
+    + f"""
+, cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id < 16),
+scored AS (
+    SELECT e.vec_id, e.emb, c.cent_id,
+           list_dot_product(e.emb, c.cemb)
+             / (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cemb, c.cemb))) AS csim
+    FROM e CROSS JOIN cents c
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY csim DESC, cent_id) AS crank
+    FROM scored
+),
+assigned AS (SELECT vec_id, emb, cent_id FROM ranked WHERE crank = 1),
+probes AS (SELECT vec_id AS query_id, cent_id FROM ranked
+           WHERE vec_id < 10 AND crank <= 2),
+cand AS (
+    SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+    FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+    WHERE p.query_id <> a.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 4) AS cosine FROM (
+    SELECT c.query_id, c.neighbor_id,
+           {_COSINE_EXPR.format(a='eq', b='en')} AS sim,
+           row_number() OVER (PARTITION BY c.query_id
+                              ORDER BY {_COSINE_EXPR.format(a='eq', b='en')} DESC,
+                              c.neighbor_id) AS rank
+    FROM cand c JOIN e eq ON c.query_id = eq.vec_id
+                JOIN e en ON c.neighbor_id = en.vec_id
+) WHERE rank <= 5
+"""
+)
 
 
 def _lsh_band_cte() -> str:
@@ -792,6 +854,7 @@ SELECT doc_id,
        n_chars
 FROM documents
 """,
+        "text_bpe_tokens": _bpe_tokens_sql(),
         "dedup_exact": """
 WITH fp AS (
     SELECT doc_id,
@@ -806,6 +869,7 @@ FROM fp GROUP BY fp HAVING count(*) > 1
         + "SELECT doc_id, mh1, mh2, mh3, mh4 FROM sigs",
         "dedup_simhash": _SIMHASH_SQL,
         "kg_connected_components": _CC_SQL,
+        "sim_ann_ivf": _IVF_SQL,
         "dedup_neardup_lsh": "WITH "
         + _SHINGLES_CTE
         + """

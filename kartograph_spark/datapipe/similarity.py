@@ -172,6 +172,71 @@ def banded_buckets(e: DataFrame, matrix: list[list[list[int]]]) -> DataFrame:
     )
 
 
+#: IVF coarse quantizer size / probe count (driver-contract defaults)
+IVF_N_CENTROIDS = 16
+IVF_N_PROBE = 2
+
+
+def ann_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 10,
+    n_centroids: int = IVF_N_CENTROIDS,
+    n_probe: int = IVF_N_PROBE,
+) -> DataFrame:
+    """IVF-shaped ANN: a fixed deterministic coarse quantizer (the first
+    ``n_centroids`` corpus vectors) partitions the corpus into posting
+    lists; queries probe their ``n_probe`` nearest centroids and score
+    exact cosine only inside those lists.
+
+    Scale shape: assignment is a broadcast crossJoin against the (tiny)
+    centroid set — corpus x K map-side rows, no shuffle — and the
+    candidate join is an equi-join on cent_id, so the posting list is the
+    shuffle key exactly like an LSH bucket.  At production scale the
+    quantizer would come from k-means (same plan once centroids exist)
+    and n_centroids ~ sqrt(N) keeps posting lists ~sqrt(N)-sized.
+    """
+    e = embeddings(spark, sf_dir).select("vec_id", "emb")
+    cents = e.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
+    )
+    scored_cents = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "emb", "cent_id",
+        _cosine(F.col("emb"), F.col("cemb")).alias("csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cent_id")
+    )
+    ranked = scored_cents.withColumn("crank", F.row_number().over(w))
+    assigned = ranked.filter(F.col("crank") == 1).select(
+        "vec_id", "emb", "cent_id"
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") < n_queries) & (F.col("crank") <= n_probe)
+    ).select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"), "cent_id")
+
+    cand = probes.join(
+        assigned.select(F.col("vec_id").alias("neighbor_id"), "emb", "cent_id"),
+        "cent_id",
+    ).filter(F.col("query_id") != F.col("neighbor_id")).dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    sim = _cosine(F.col("qe"), F.col("emb"))
+    scored = cand.select("query_id", "neighbor_id", sim.alias("sim"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"),
+            F.round("sim", 4).alias("cosine"),
+        )
+    )
+
+
 def ann_lsh(
     spark: SparkSession,
     sf_dir: str,

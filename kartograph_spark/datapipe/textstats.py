@@ -19,6 +19,12 @@ VOCAB_RE = r"\b(spark|hash|join|merge|window|stream|filter|scan|sort|vector)\b"
 #: stopword set for the quality heuristic
 STOPWORDS = ("the", "a", "of")
 
+#: BPE-ish pretokenizer (GPT-2-style split simplified to constructs that
+#: behave identically in Java regex and RE2 — no lookarounds): English
+#: contractions, space-prefixed letter runs, digit runs, punctuation runs,
+#: whitespace runs (filtered out of the counts)
+BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
 
 def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents scan with an under-split guard: text operators do heavy
@@ -133,6 +139,21 @@ def lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n_stop / token_count >= 0.05, F.lit("en"))
         .otherwise(F.col("lang"))
         .alias("pred_lang"),
+    )
+
+
+def bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pretokenizer regex (the
+    tokenizer-aware sizing pass of a training-data pipeline): per-doc
+    total and distinct token counts, whitespace runs excluded.  Pure JVM
+    (regexp_extract_all + array HOFs), one map stage."""
+    d = docs(spark, sf_dir)
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), F.lit(0))
+    nonws = F.filter(toks, lambda t: ~t.rlike(r"^\s+$"))
+    return d.select(
+        "doc_id",
+        F.size(nonws).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(nonws)).cast("long").alias("n_distinct_bpe"),
     )
 
 

@@ -103,6 +103,86 @@ def windowed_mention_counts(
     )
 
 
+#: output of the stateful first-mention operator
+FIRST_SEEN_SCHEMA = T.StructType(
+    [
+        T.StructField("urn", T.StringType()),
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.LongType()),
+    ]
+)
+
+#: per-URN state: total mentions observed so far
+_STATE_SCHEMA = T.StructType([T.StructField("n_seen", T.LongType())])
+
+
+def _first_seen_fn(key, pdfs, state):
+    """GroupState body for first_mention_stream: emit a urn exactly once
+    (its stably-ordered first occurrence), then only accumulate counts."""
+    import pandas as pd
+
+    n_before = state.get[0] if state.exists else 0
+    best = None
+    total = 0
+    for pdf in pdfs:
+        total += len(pdf)
+        cand = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort").head(1)
+        best = (
+            cand
+            if best is None
+            else pd.concat([best, cand])
+            .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+            .head(1)
+        )
+    state.update((n_before + total,))
+    if n_before == 0 and best is not None:
+        yield best[["urn", "conv_id", "turn_idx"]].astype({"turn_idx": "int64"})
+
+
+def first_mention_stream(mentions: DataFrame) -> DataFrame:
+    """Custom stateful operator (SURVEY §2.13 UDF surface, streaming
+    analog of W1 first-occurrence): ``applyInPandasWithState`` keyed by
+    urn, emitting each entity exactly once across ALL micro-batches — the
+    incremental version of the batch first-occurrence dedup, with state
+    bounded by the entity vocabulary (one counter per urn), not by the
+    stream length."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return mentions.select("urn", "conv_id", "turn_idx").groupBy("urn").applyInPandasWithState(
+        _first_seen_fn,
+        outputStructType=FIRST_SEEN_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_first_mentions(
+    spark: SparkSession,
+    input_path: str,
+    checkpoint_path: str,
+    query_name: str = "first_mentions",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """First-mention stream into a memory sink (update mode).
+
+    ``max_files_per_trigger`` slices the backlog into multiple
+    micro-batches so cross-batch statefulness is observable in tests."""
+    src = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        src = src.option("maxFilesPerTrigger", max_files_per_trigger)
+    mentions = extract_mentions(src.parquet(input_path))
+    return (
+        first_mention_stream(mentions)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_mention_counts(
     spark: SparkSession,
     input_path: str,

@@ -55,3 +55,24 @@ def test_finer_buckets_bound_candidates(spark):
     coarse = sim.ann_lsh(spark, SF, k=1000, n_queries=5, n_planes=2).toPandas()
     fine = sim.ann_lsh(spark, SF, k=1000, n_queries=5, n_planes=8).toPandas()
     assert len(fine) <= len(coarse)
+
+
+def test_ivf_recall_and_shape(spark):
+    """IVF multi-probe: candidates bounded to probed posting lists, recall
+    close to brute force on the clustered synthetic embeddings."""
+    exact = sim.knn_topk(spark, SF, k=5, n_queries=10).toPandas()
+    approx = sim.ann_ivf(spark, SF, k=5, n_queries=10).toPandas()
+    assert set(approx["query_id"]) <= set(range(10))
+    assert (approx.groupby("query_id")["rank"].max() <= 5).all()
+    e = set(map(tuple, exact[["query_id", "neighbor_id"]].itertuples(index=False)))
+    a = set(map(tuple, approx[["query_id", "neighbor_id"]].itertuples(index=False)))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, f"recall {recall:.2f}"  # 16 fixed centroids, 2 probes
+
+
+def test_ivf_more_probes_widen_candidates(spark):
+    one = sim.ann_ivf(spark, SF, k=10**6, n_queries=5, n_probe=1).toPandas()
+    two = sim.ann_ivf(spark, SF, k=10**6, n_queries=5, n_probe=2).toPandas()
+    p1 = set(map(tuple, one[["query_id", "neighbor_id"]].itertuples(index=False)))
+    p2 = set(map(tuple, two[["query_id", "neighbor_id"]].itertuples(index=False)))
+    assert p1 <= p2

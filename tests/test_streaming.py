@@ -80,3 +80,34 @@ def test_windowed_counts_stream_subset_of_batch(spark, tmp_path):
     assert (merged["n_mentions_s"] == merged["n_mentions_b"]).all()
     assert len(streamed) > 0
     assert len(streamed) <= len(batch)
+
+
+def test_stateful_first_mentions(spark, tmp_path):
+    """applyInPandasWithState: each urn emitted exactly ONCE across
+    micro-batches (streaming W1 first-occurrence), state survives between
+    batches within a query run."""
+    from kartograph_spark.streaming import stream_first_mentions
+
+    tr = synth.gen_transcripts(n_conv=30, mean_turns=6)
+    in_dir = str(tmp_path / "in")
+    # two files -> two micro-batches via maxFilesPerTrigger=1
+    half = tr[tr.conv_id < "conv-000015"].reset_index(drop=True)
+    rest = tr[tr.conv_id >= "conv-000015"].reset_index(drop=True)
+    _write_slice(half, f"{in_dir}/part-0.parquet")
+    _write_slice(rest, f"{in_dir}/part-1.parquet")
+
+    q = stream_first_mentions(
+        spark, in_dir, str(tmp_path / "ck"), query_name="fm_test",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM fm_test").toPandas()
+
+    exp = extract_mentions(spark.createDataFrame(tr)).toPandas()
+    # exactly one row per distinct urn, never re-emitted in batch 2
+    assert len(got) == exp["urn"].nunique()
+    assert got["urn"].is_unique
+    # urns first seen in batch 1 must carry a batch-1 (conv_id, turn_idx)
+    b1_urns = set(extract_mentions(spark.createDataFrame(half)).toPandas()["urn"])
+    from_b1 = got[got["urn"].isin(b1_urns)]
+    assert (from_b1["conv_id"] < "conv-000015").all()
