@@ -302,25 +302,39 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 4) AS cos
 
 def _lsh_band_cte() -> str:
     """Banded hyperplane buckets — generated from the SAME deterministic
-    ±1 matrix the Spark queries use (similarity.lsh_plane_matrix), so the
-    two engines bucket identically."""
+    ±1 matrix the Spark queries use (similarity.lsh_plane_matrix), with
+    the plane count derived from the corpus size by the SAME formula
+    (lsh_n_planes mirrored as greatest/least/ceil/log2 SQL), so the two
+    engines bucket identically at any scale factor."""
     from kartograph_spark.datapipe.similarity import (
         DEFAULT_N_BANDS,
-        DEFAULT_N_PLANES,
+        LSH_TARGET_BUCKET,
+        MAX_PLANES,
         lsh_plane_matrix,
     )
 
-    m = lsh_plane_matrix(DEFAULT_N_BANDS, DEFAULT_N_PLANES)
+    m = lsh_plane_matrix(DEFAULT_N_BANDS, MAX_PLANES)
+    planes_expr = (
+        f"greatest(4, least({MAX_PLANES}, CAST(ceil(log2(greatest(2.0, "
+        f"(SELECT count(*) FROM e) / {LSH_TARGET_BUCKET}.0))) AS INTEGER)))"
+    )
     selects = []
     for b, planes in enumerate(m):
         terms = " + ".join(
-            "(CASE WHEN list_dot_product(emb, ["
+            f"(CASE WHEN {p} < pp.planes AND list_dot_product(emb, ["
             + ", ".join(str(float(c)) for c in coeffs)
             + f"]) > 0 THEN {1 << p} ELSE 0 END)"
             for p, coeffs in enumerate(planes)
         )
-        selects.append(f"SELECT vec_id, emb, {b} AS band, {terms} AS bucket FROM e")
-    return "bb AS (" + " UNION ALL ".join(selects) + ")"
+        selects.append(
+            f"SELECT vec_id, emb, {b} AS band, {terms} AS bucket "
+            "FROM e CROSS JOIN params pp"
+        )
+    return (
+        f"params AS (SELECT {planes_expr} AS planes), bb AS ("
+        + " UNION ALL ".join(selects)
+        + ")"
+    )
 
 # hex nibble -> int (DuckDB has no hex-string cast; strpos over the
 # alphabet is exact and engine-portable)

@@ -150,12 +150,11 @@ def embedding_neardup(
     """
     from kartograph_spark.datapipe import similarity as sim
 
+    base = sim.embeddings(spark, sf_dir).select("vec_id", "emb")
     M = sim.lsh_plane_matrix(
-        n_bands or sim.DEFAULT_N_BANDS, n_planes or sim.DEFAULT_N_PLANES
+        n_bands or sim.DEFAULT_N_BANDS, sim.resolve_n_planes(base, n_planes)
     )
-    e = sim.banded_buckets(
-        sim.embeddings(spark, sf_dir).select("vec_id", "emb"), M
-    )
+    e = sim.banded_buckets(base, M)
     a = e.select(
         F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"),
         "band", "bucket",

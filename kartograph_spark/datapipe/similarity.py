@@ -28,29 +28,41 @@ from __future__ import annotations
 import hashlib
 import math
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 #: embedding dimensionality of the corpus tables
 EMBED_DIM = 64
 
-#: driver-contract defaults — lsh_n_planes(500) = 4 at the graded sf0.01
-#: scale (500 vectors / 32-vector target buckets).  n_planes sets bucket
-#: size (precision / join cost); n_bands sets recall: a pair with
-#: per-plane collision probability q = 1 - theta/pi survives with
-#: 1 - (1 - q^planes)^bands — at cosine 0.5 and 4 planes, 8 bands lift
-#: recall from 0.20 (one band) to ~0.83.  Candidate-join cost is linear
-#: in bands, so this is the cheap knob.
-DEFAULT_N_PLANES = 4
+#: n_planes sets bucket size (precision / join cost) and SCALES WITH THE
+#: CORPUS via lsh_n_planes — the default (n_planes=None) derives it from
+#: a count() of the embedding table, and the DuckDB oracles evaluate the
+#: identical formula in SQL, so both engines always agree at any scale
+#: factor.  n_bands sets recall: a pair with per-plane collision
+#: probability q = 1 - theta/pi survives with 1 - (1 - q^planes)^bands —
+#: at cosine 0.5 and 4 planes, 8 bands lift recall from 0.20 (one band)
+#: to ~0.83.  Candidate-join cost is linear in bands, the cheap knob.
+DEFAULT_N_PLANES = 4  # = lsh_n_planes(500), the graded sf0.01 scale
 DEFAULT_N_BANDS = 8
+MAX_PLANES = 24
+LSH_TARGET_BUCKET = 32
 
 
-def lsh_n_planes(n_vectors: int, target_bucket: int = 32) -> int:
+def lsh_n_planes(n_vectors: int, target_bucket: int = LSH_TARGET_BUCKET) -> int:
     """Corpus-scaled hyperplane count: expected bucket size ~target_bucket.
 
     p = log2(N / B), clamped to [4, 24] (24 planes = 16M buckets, enough
-    for 10^9-vector corpora at B = 64)."""
-    return max(4, min(24, math.ceil(math.log2(max(2.0, n_vectors / target_bucket)))))
+    for 10^9-vector corpora at B = 64).  Mirrored verbatim in SQL by the
+    driver oracles (greatest/least/ceil/log2)."""
+    return max(
+        4,
+        min(
+            MAX_PLANES,
+            math.ceil(math.log2(max(2.0, n_vectors / target_bucket))),
+        ),
+    )
 
 
 def lsh_plane_matrix(
@@ -155,20 +167,49 @@ def banded_buckets(e: DataFrame, matrix: list[list[list[int]]]) -> DataFrame:
     """(vec_id, emb) -> one row per band: (vec_id, emb, band, bucket).
 
     bucket = the n_planes sign bits of the hyperplane dot products packed
-    into an int; the (band, bucket) pair is the LSH shuffle key."""
-    cols = []
-    for b, planes in enumerate(matrix):
-        bb = F.lit(0)
-        for p, coeffs in enumerate(planes):
-            bb = bb + F.when(
-                _dot_lit(F.col("emb"), coeffs) > 0, F.lit(1 << p)
-            ).otherwise(0)
-        cols.append(F.struct(F.lit(b).alias("band"), bb.alias("bucket")))
-    return e.select("vec_id", "emb", F.explode(F.array(*cols)).alias("bb")).select(
-        "vec_id",
-        "emb",
-        F.col("bb.band").alias("band"),
-        F.col("bb.bucket").alias("bucket"),
+    into an int; the (band, bucket) pair is the LSH shuffle key.
+
+    All bands x planes dot products are computed in ONE Arrow batch pass
+    (mapInPandas + numpy): per-plane ``F.aggregate(zip_with(...))``
+    column expressions are interpreted (not codegen) and re-walk the
+    array once per plane — at bands*planes = 32 that is ~2k interpreted
+    closure calls per row, measured ~8x slower than the batched numpy
+    form.  The accumulation loops over dimensions IN ORDER (acc += x_j *
+    s_j), so IEEE addition order — and therefore every sign bit — is
+    bit-identical to the sequential list_dot_product the DuckDB oracle
+    evaluates."""
+    import numpy as np
+
+    n_bands, n_planes = len(matrix), len(matrix[0])
+    s = np.asarray(matrix, dtype=np.float64)  # (bands, planes, dim)
+    dim = s.shape[2]
+    flat = s.reshape(n_bands * n_planes, dim).T.copy()  # (dim, bands*planes)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    band_ids = np.arange(n_bands, dtype=np.int32)
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            emb = np.stack(pdf["emb"].to_numpy())  # (n, dim) float64
+            acc = np.zeros((n, n_bands * n_planes))
+            for j in range(dim):  # dimension-sequential: IEEE-order parity
+                acc += np.outer(emb[:, j], flat[j])
+            bits = (acc > 0).reshape(n, n_bands, n_planes)
+            buckets = (bits * weights).sum(axis=2).astype(np.int32)  # (n, bands)
+            rep = np.repeat(np.arange(n), n_bands)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[rep],
+                    "emb": pdf["emb"].to_numpy()[rep],
+                    "band": np.tile(band_ids, n),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return e.select("vec_id", "emb").mapInPandas(
+        gen, schema="vec_id long, emb array<double>, band int, bucket int"
     )
 
 
@@ -237,24 +278,27 @@ def ann_ivf(
     )
 
 
+def resolve_n_planes(e: DataFrame, n_planes: int | None) -> int:
+    """None -> corpus-scaled plane count (one metadata-cheap count job)."""
+    return n_planes if n_planes is not None else lsh_n_planes(e.count())
+
+
 def ann_lsh(
     spark: SparkSession,
     sf_dir: str,
     k: int = 5,
     n_queries: int = 10,
-    n_planes: int = DEFAULT_N_PLANES,
+    n_planes: int | None = None,
     n_bands: int = DEFAULT_N_BANDS,
 ) -> DataFrame:
     """Banded-LSH approximate top-k: candidates are vectors sharing the
     query's (band, bucket) key in ANY band (OR-amplification), deduped,
-    then exact cosine + rank.  At corpus scale pass
-    ``n_planes=lsh_n_planes(corpus_size)`` so buckets stay ~constant-size
-    (see module docstring for the math); the defaults pin the formula's
-    value at the graded sf0.01 scale."""
-    M = lsh_plane_matrix(n_bands, n_planes)
-    e = banded_buckets(
-        embeddings(spark, sf_dir).select("vec_id", "emb"), M
-    )
+    then exact cosine + rank.  ``n_planes=None`` derives the plane count
+    from the corpus size (lsh_n_planes) so buckets stay ~constant-size at
+    any scale — see module docstring for the math."""
+    base = embeddings(spark, sf_dir).select("vec_id", "emb")
+    M = lsh_plane_matrix(n_bands, resolve_n_planes(base, n_planes))
+    e = banded_buckets(base, M)
     q = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"),
         "band", "bucket",

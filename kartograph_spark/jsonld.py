@@ -164,11 +164,13 @@ def _property_rows(base: DataFrame, pred: str, vdt: T.DataType) -> DataFrame:
         )
     elif isinstance(vdt, T.StructType):
         # nested non-ref dict — JSON-stringified at load
-        # (load_dgraph.py:318-322); empty objects skipped (:316-317)
+        # (load_dgraph.py:318-322); empty objects skipped (:316-317).
+        # dtype 'json' marks that the value bypasses the plain-string
+        # sanitization (the reference emits these directly)
         obj = F.to_json(v)
         out = base.select(
             urn.alias("subj"), lit(pred).alias("pred"), obj.alias("obj"),
-            lit(False).alias("obj_is_ref"), lit("string").alias("dtype"),
+            lit(False).alias("obj_is_ref"), lit("json").alias("dtype"),
         ).filter(F.col("obj") != "{}")
     elif isinstance(vdt, T.StringType):
         # plain 'urn:' strings promoted to refs (models.py:114-117)
@@ -245,6 +247,96 @@ def jsonld_property_triples(ents: DataFrame) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def validate_jsonld_entities(ents: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """load_dgraph.py:59-84: every entity must carry @id, @type and name.
+    Returns (valid entities, error rows in the validation_errors shape)."""
+    ok = (
+        F.col("urn").isNotNull()
+        & F.col("type").isNotNull()
+        & F.col("name").isNotNull()
+    )
+    bad = ents.filter(~ok).select(
+        F.coalesce(F.col("urn"), F.lit("<missing @id>")).alias("entity_id"),
+        F.lit("required").alias("field"),
+        F.lit(None).cast("string").alias("target_urn"),
+        F.lit("entity missing required @id/@type/name").alias("message"),
+        F.lit("error").alias("severity"),
+    )
+    return ents.filter(ok), bad
+
+
+def jsonld_to_triples(ents: DataFrame) -> DataFrame:
+    """load_dgraph.py steps 3-6 (§3.2) over loaded JSON-LD entities:
+    dgraph.type triple per entity (:284-290), name literal, normalized
+    property triples (P3), predicate cleaning (:357-382), literal
+    escaping + sanitization (:384-417), mixed-type uid>scalar resolution
+    (:172-206), URN percent-encoding (:351-355).
+
+    Output matches the engine's triple contract
+    (subj, pred, obj, obj_is_ref, dtype) — feed to ``to_nquads`` /
+    ``write_nquads`` for the reference's N-Quads lines.
+    """
+    from kartograph_spark import triples as tr
+
+    def lit(x):
+        return F.lit(x)
+
+    head = ents.select(
+        F.col("urn").alias("subj"),
+        lit("dgraph.type").alias("pred"),
+        F.col("type").alias("obj"),
+        lit(False).alias("obj_is_ref"),
+        lit("string").alias("dtype"),
+    ).unionByName(
+        ents.select(
+            F.col("urn").alias("subj"),
+            lit("name").alias("pred"),
+            F.col("name").alias("obj"),
+            lit(False).alias("obj_is_ref"),
+            lit("string").alias("dtype"),
+        )
+    )
+    props = jsonld_property_triples(ents)
+    allt = head.unionByName(props)
+
+    # predicate cleaning — dgraph.type rows bypass it (:284-290)
+    cleaned = allt.withColumn(
+        "pred",
+        F.when(
+            F.col("pred") == "dgraph.type", F.col("pred")
+        ).otherwise(tr.clean_predicate_col(F.col("pred"))),
+    )
+    # plain string literals: escape + sanitize (:384-417); dgraph.type
+    # objs are type names (exempt, :284-290); 'json' rows are stringified
+    # dicts the reference emits directly with quotes escaped (:318-322)
+    is_plain = (
+        (~F.col("obj_is_ref"))
+        & (F.col("dtype") == "string")
+        & (F.col("pred") != "dgraph.type")
+    )
+    is_json = (~F.col("obj_is_ref")) & (F.col("dtype") == "json")
+    cleaned = (
+        cleaned.withColumn(
+            "obj",
+            F.when(is_plain, tr.escape_literal_col(F.col("obj")))
+            .when(is_json, F.regexp_replace(F.col("obj"), '"', '\\\\"'))
+            .otherwise(F.col("obj")),
+        )
+        .filter(~is_plain | tr.literal_kept_col(F.col("obj")))
+        .withColumn(
+            "dtype",
+            F.when(F.col("dtype") == "json", F.lit("string")).otherwise(
+                F.col("dtype")
+            ),
+        )
+    )
+    deduped = cleaned.distinct()
+    resolved = tr.apply_uid_resolution(
+        deduped, tr.collect_uid_predicates(deduped)
+    )
+    return tr.encode_final(resolved)
 
 
 def write_nquads(triples: DataFrame, out_dir: str) -> None:

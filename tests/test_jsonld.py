@@ -102,7 +102,7 @@ def test_p3_property_normalization(spark, tmp_path):
     assert rows[("tags", "urn:Tag:hot")] == (True, "uid")
     assert rows[("envs", "dev")] == (False, "string")
     assert rows[("envs", "prod")] == (False, "string")
-    assert rows[("config", '{"retries":3}')] == (False, "string")
+    assert rows[("config", '{"retries":3}')] == (False, "json")
     assert rows[("replicas", "4")] == (False, "int")
     assert rows[("cpu", "1.5")] == (False, "float")
     assert rows[("active", "true")] == (False, "bool")
@@ -110,6 +110,49 @@ def test_p3_property_normalization(spark, tmp_path):
     assert not any(pred == "description" for pred, _ in rows)
     # exactly the expected triple set, nothing extra
     assert len(rows) == 11
+
+
+def test_jsonld_to_triples_full_conversion(spark, tmp_path):
+    """load_dgraph steps 2-6 over an arbitrary loaded document: required-
+    field validation, type/name head triples, P3 props, predicate
+    cleaning, sanitize/escape, uid>scalar resolution, URN encoding."""
+    doc = {
+        "@context": {},
+        "@graph": [
+            {
+                "@id": "urn:Service:pay api",  # space -> %20 on encode
+                "@type": "Service",
+                "name": "Pay API",
+                "@owner": "urn:Team:platform",  # '@' stripped, ref promoted
+                "mixed": "urn:Team:platform",   # uid observation...
+                "config": {"a": 1},
+            },
+            {
+                "@id": "urn:Team:platform",
+                "@type": "Team",
+                "name": 'He said "hi"',  # quote escaping
+                "mixed": "plain string",  # ...so this scalar is dropped
+                "bad": "has {braces}",    # sanitized away
+            },
+            {"@id": "urn:X:incomplete", "@type": None, "name": None},
+        ],
+    }
+    p = tmp_path / "conv.jsonld"
+    p.write_text(json.dumps(doc))
+    ents = jsonld.load_jsonld_document(spark, str(p))
+    valid, errs = jsonld.validate_jsonld_entities(ents)
+    assert errs.count() == 1 and valid.count() == 2
+
+    t = {(r["subj"], r["pred"], r["obj"]): (r["obj_is_ref"], r["dtype"])
+         for r in jsonld.jsonld_to_triples(valid).collect()}
+    assert t[("urn:Service:pay%20api", "dgraph.type", "Service")] == (False, "string")
+    assert t[("urn:Service:pay%20api", "owner", "urn:Team:platform")] == (True, "uid")
+    assert t[("urn:Service:pay%20api", "mixed", "urn:Team:platform")] == (True, "uid")
+    assert t[("urn:Service:pay%20api", "config", '{\\"a\\":1}')] == (False, "string")
+    assert t[("urn:Team:platform", "name", 'He said \\"hi\\"')] == (False, "string")
+    # scalar on a uid predicate dropped; brace literal sanitized away
+    assert not any(k[1] == "mixed" and not v[0] for k, v in t.items())
+    assert not any(k[1] == "bad" for k in t)
 
 
 def test_nquads_export(spark, transcripts_df, alias_df, tmp_path):
