@@ -86,3 +86,36 @@ def test_schema_manifest(pipeline_out):
     assert by_pred["turn_count"]["resolved_type"] == "int"
     assert by_pred["has_tool_calls"]["resolved_type"] == "bool"
     assert by_pred["avg_gap_secs"]["resolved_type"] == "float"
+
+
+def test_long_conversation_salting(spark):
+    """C2 analog: an under-split scan containing one huge conversation is
+    repartitioned into (conv_id, turn-range) groups so it cannot pin a
+    single task (chunk binary-split semantics, orchestrator.py:637-687)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kartograph_spark.pipeline import ensure_parallelism
+
+    n = 5000
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["conv-long"] * n,
+            "turn_idx": list(range(n)),
+            "role": ["user"] * n,
+            "text": ["turn text"] * n,
+            "tool": [None] * n,
+            "ts": pd.to_datetime("2026-01-01"),
+        }
+    )
+    df = spark.createDataFrame(pdf).coalesce(1)
+    salted = ensure_parallelism(spark, df, salt_turns=1024)
+    n_parts = (
+        salted.select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    # 5000 turns / 1024-turn salt -> at least ceil(5000/1024)=5 distinct
+    # task groups are POSSIBLE; require the conversation spans > 1
+    assert n_parts > 1
+    assert salted.count() == n

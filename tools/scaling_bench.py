@@ -162,7 +162,7 @@ def render_baseline_md() -> None:
         ]
     lines += [
         "Reproduce: `python tools/calibrate_scaling.py && python",
-        "tools/scaling_bench.py 50000 2 8 && python tools/scaling_bench.py",
+        "tools/scaling_bench.py 100000 2 8 && python tools/scaling_bench.py",
         "200000 8 32` (regenerates this file).",
     ]
     with open(os.path.join(bench, "BASELINE.md"), "w") as f:
