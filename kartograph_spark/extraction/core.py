@@ -87,11 +87,19 @@ def _from_extractall(
     return out
 
 
-def extract_mentions_block(pdf: pd.DataFrame) -> pd.DataFrame:
+def extract_mentions_block(
+    pdf: pd.DataFrame, cross_turn_anchors: bool = False
+) -> pd.DataFrame:
     """Extract all candidate mentions from a batch of turns.
 
     ``pdf`` columns: conv_id (str), turn_idx (int), text (str).
     Returns MENTION_COLUMNS, already per-turn-deduped keep-first.
+
+    ``cross_turn_anchors=True`` lets verb-pattern subject attribution
+    carry the last E1 anchor FORWARD ACROSS TURNS of the same
+    conversation (requires ``pdf`` to hold whole conversations sorted by
+    (conv_id, turn_idx) — the applyInPandas grouped path provides that);
+    the default attributes within the turn only.
     """
     if len(pdf) == 0:
         return _empty()
@@ -109,10 +117,17 @@ def extract_mentions_block(pdf: pd.DataFrame) -> pd.DataFrame:
     if not cm.empty:
         c = cm.reset_index()
         c = c.rename(columns={c.columns[0]: "_row"})
-        # nearest preceding anchor per original text row (NaN propagates
-        # through + for verb matches; ffill carries the last E1 urn)
+        # nearest preceding anchor (NaN propagates through + for verb
+        # matches; ffill carries the last E1 urn).  Scope: the turn (_row)
+        # by default, or the whole conversation when the caller guarantees
+        # conversation-grouped turn-sorted input.
         c["_anchor"] = "urn:" + c["urn_t"] + ":" + c["urn_i"]
-        c["_anchor"] = c.groupby("_row")["_anchor"].ffill()
+        if cross_turn_anchors:
+            c["_conv"] = base["conv_id"].to_numpy()[c["_row"].to_numpy()]
+            c["_anchor"] = c.groupby("_conv")["_anchor"].ffill()
+            c = c.drop(columns="_conv")
+        else:
+            c["_anchor"] = c.groupby("_row")["_anchor"].ffill()
 
         # E1 — URN mentions (EntityExtractor.ts:18-41)
         u = c[c["urn_t"].notna()]

@@ -65,3 +65,29 @@ def extract_mentions(transcripts: DataFrame) -> DataFrame:
         F.col("text"),
     )
     return turns.mapInPandas(_extract_iter, schema=MENTION_SCHEMA)
+
+
+def extract_mentions_grouped(
+    transcripts: DataFrame, cross_turn_anchors: bool = True
+) -> DataFrame:
+    """Grouped-map variant (SURVEY §2.13 applyInPandas surface): whole
+    conversations per group, turns sorted inside the group, so verb
+    subject attribution can carry the last E1 anchor FORWARD ACROSS TURNS
+    (the cross-turn coref the reference's per-chunk agent context gave it,
+    orchestrator.py:294-325).  Costs one shuffle on conv_id — use the
+    map-only ``extract_mentions`` when within-turn attribution suffices.
+    """
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        out = extract_mentions_block(
+            pdf.reset_index(drop=True), cross_turn_anchors=cross_turn_anchors
+        )
+        return out[MENTION_COLUMNS]
+
+    turns = transcripts.select(
+        F.col("conv_id").cast("string"),
+        F.col("turn_idx").cast("long"),
+        F.col("text"),
+    )
+    return turns.groupBy("conv_id").applyInPandas(fn, schema=MENTION_SCHEMA)

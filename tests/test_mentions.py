@@ -158,3 +158,32 @@ def test_spark_matches_pandas_core(spark, transcripts_df, transcripts_pdf):
     pd.testing.assert_frame_equal(
         got.astype({"turn_idx": "int64"}), exp.astype({"turn_idx": "int64"})
     )
+
+
+def test_cross_turn_anchors_grouped(spark):
+    """applyInPandas grouped extraction: anchors carry across turns of a
+    conversation; the map-only default stays within-turn."""
+    from kartograph_spark.extraction.mentions import extract_mentions_grouped
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1", "c2"],
+            "turn_idx": [0, 1, 0],
+            "text": [
+                "<urn:Application:payment-service> deployed today",
+                "it uses Vault now",
+                "unrelated conversation uses Redis",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    grouped = extract_mentions_grouped(df).toPandas()
+    verb = grouped[grouped["pred"] == "usesTool"].set_index("urn")
+    # c1 turn 1 inherits the anchor from turn 0
+    assert verb.loc["urn:Tool:vault", "subj_urn"] == "urn:Application:payment-service"
+    # anchors never leak across conversations
+    assert pd.isna(verb.loc["urn:Tool:redis", "subj_urn"])
+
+    default = extract_mentions(df).toPandas()
+    dverb = default[default["pred"] == "usesTool"].set_index("urn")
+    assert pd.isna(dverb.loc["urn:Tool:vault", "subj_urn"])  # within-turn only
