@@ -119,3 +119,19 @@ def test_long_conversation_salting(spark):
     # task groups are POSSIBLE; require the conversation spans > 1
     assert n_parts > 1
     assert salted.count() == n
+
+
+def test_report_sinks_written(pipeline_out):
+    """S11/S12 integration: run_pipeline writes every report format."""
+    import os
+
+    out, metrics = pipeline_out
+    for name in (
+        "metrics.json", "metrics.csv", "metrics.md",
+        "validation_report.md", "validation_report.txt",
+        "schema_manifest.json",
+    ):
+        p = os.path.join(out, name)
+        assert os.path.exists(p) and os.path.getsize(p) > 0, name
+    md = open(os.path.join(out, "metrics.md")).read()
+    assert f"- **Triples**: {metrics['triples']:,}" in md
