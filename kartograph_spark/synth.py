@@ -256,16 +256,27 @@ def write_corpus(out_dir: str, n_conv: int = 200, seed: int = SEED, **kw) -> dic
     elif os.path.isdir(tr_path):
         shutil.rmtree(tr_path)
     n_files = max(1, len(tr) // 25_000)
+    # write to a temp name + atomic rename: a concurrent reader (e.g. the
+    # driver running queries and oracles in separate processes) never sees
+    # a partially-written corpus
+    tmp = tr_path + ".tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    elif os.path.isfile(tmp):
+        os.remove(tmp)
     if n_files == 1:
-        tr.to_parquet(tr_path, index=False, row_group_size=8192)
+        tr.to_parquet(tmp, index=False, row_group_size=8192)
     else:
-        os.makedirs(tr_path, exist_ok=True)
+        os.makedirs(tmp, exist_ok=True)
         per = (len(tr) + n_files - 1) // n_files
         for i in range(n_files):
             tr.iloc[i * per : (i + 1) * per].to_parquet(
-                os.path.join(tr_path, f"part-{i:05d}.parquet"),
+                os.path.join(tmp, f"part-{i:05d}.parquet"),
                 index=False,
                 row_group_size=8192,
             )
-    al.to_parquet(os.path.join(out_dir, "alias_dictionary.parquet"), index=False)
+    os.replace(tmp, tr_path) if os.path.isfile(tmp) else os.rename(tmp, tr_path)
+    al_tmp = os.path.join(out_dir, "alias_dictionary.parquet.tmp")
+    al.to_parquet(al_tmp, index=False)
+    os.replace(al_tmp, os.path.join(out_dir, "alias_dictionary.parquet"))
     return {"turns": len(tr), "conversations": tr["conv_id"].nunique(), "aliases": len(al)}
