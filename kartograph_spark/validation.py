@@ -41,19 +41,28 @@ def split_broken_refs(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
     plain equi join and AQE may still broadcast it when small.
     """
     nodes = node_urns(triples)
-    refs = triples.filter(F.col("obj_is_ref"))
-    scalars = triples.filter(~F.col("obj_is_ref"))
-
-    nodes_as_obj = nodes.withColumnRenamed("urn", "obj")
-    kept_refs = refs.join(nodes_as_obj, "obj", "left_semi")
-    broken = refs.join(nodes_as_obj, "obj", "left_anti").select(
+    # ONE pass over the (usually cached) triple frame: left join against
+    # the distinct node set with a hit marker, then filter both outputs
+    # from the same joined plan — instead of a scalars-scan + refs-scan +
+    # semi-join union, which reads the corpus twice per consumer.
+    nodes_as_obj = nodes.withColumnRenamed("urn", "obj").withColumn(
+        "_hit", F.lit(True)
+    )
+    joined = triples.join(nodes_as_obj, "obj", "left")
+    cols = [c for c in triples.columns]
+    kept = joined.filter(
+        ~F.col("obj_is_ref") | F.col("_hit").isNotNull()
+    ).select(*cols)
+    broken = joined.filter(
+        F.col("obj_is_ref") & F.col("_hit").isNull()
+    ).select(
         F.col("subj").alias("entity_id"),
         F.col("pred").alias("field"),
         F.col("obj").alias("target_urn"),
         F.lit("broken reference: target entity not defined").alias("message"),
         F.lit("error").alias("severity"),
     )
-    return scalars.unionByName(kept_refs), broken
+    return kept, broken
 
 
 def find_orphans(triples: DataFrame) -> DataFrame:
