@@ -33,16 +33,27 @@ sys.path.insert(0, REPO)
 
 
 def one_run(cores: int, corpus: str) -> None:
+    import os as _os
+
     from kartograph_spark.pipeline import build_triples
     from kartograph_spark.session import get_spark
 
-    # ActiveProcessorCount caps JVM-internal parallelism (GC, JIT, common
-    # pool) at N too — a faithful N-core executor node, not an N-task JVM
-    # that still GCs on all 32 hardware threads.
+    # Faithful N-vs-4N methodology:
+    # - ActiveProcessorCount caps JVM-internal parallelism (GC, JIT,
+    #   common pool) at N — an N-core executor node, not an N-task JVM
+    #   that still GCs on all 32 hardware threads.
+    # - IDENTICAL shuffle partitioning at both levels: the physical plan
+    #   (partition count, per-partition sort sizes) is the same job; only
+    #   the executor-slot count differs.  AQE coalescing then makes the
+    #   same runtime decisions on both sides.
+    # - Memory scales with cores (6g/core, capped): on a real cluster
+    #   each added executor brings its own memory; a fixed heap would
+    #   starve the 4N side with 4x the concurrent task working set.
+    _os.environ["SPARK_DRIVER_MEM"] = f"{min(96, 6 * cores)}g"
     spark = get_spark(
         f"kg-scaling-{cores}",
         master=f"local[{cores}]",
-        shuffle_partitions=2 * cores,
+        shuffle_partitions=32,
         extra_conf={
             "spark.driver.extraJavaOptions": f"-XX:ActiveProcessorCount={cores}"
         },
@@ -103,6 +114,15 @@ def render_baseline_md() -> None:
         "evidence is the same job at two parallelism levels on the same",
         "input (deterministic synthetic transcript corpus, seed=42), each",
         "level in a fresh JVM, warm-up run excluded, best of 3 timed runs.",
+        "",
+        "Methodology (controls for single-VM artifacts a real cluster does",
+        "not have): identical shuffle partitioning at both levels (same",
+        "physical plan — only the executor-slot count differs), JVM-internal",
+        "pools capped at N via ActiveProcessorCount, and memory scaled per",
+        "core (each added executor on a real cluster brings its own memory).",
+        "Single-VM run-to-run spread on the timed pair is real (~±10%; see",
+        "the memory-note ceilings below) — treat any single efficiency",
+        "number as a draw from that spread.",
         "",
     ]
     for s in pairs:
