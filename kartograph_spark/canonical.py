@@ -117,7 +117,9 @@ def canonicalize_mentions(
     # and dictionary metadata locally, instead of three separate scan /
     # collect jobs whose scheduling latency is pure Amdahl overhead.
     alias_pdf = alias_dict.toPandas()
-    alias_local = spark.createDataFrame(alias_pdf)
+    # explicit schema: an empty dictionary (or an all-null column) cannot
+    # be inferred from the pandas frame and would raise at createDataFrame
+    alias_local = spark.createDataFrame(alias_pdf, schema=alias_dict.schema)
 
     pairs = coreference_pairs(typed, alias_local, confidence_threshold)
     cmap = canonical_map(pairs, preferred=set(alias_pdf["canonical_urn"]))

@@ -178,9 +178,10 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document from md5-derived token bits.
 
     bit_j(token) = jth bit of the md5 of the token; simhash bit j is the
-    majority vote weighted by token frequency.  Deterministic; kept
-    Spark-side only (bit-fiddling has no clean DuckDB twin -> driver
-    records the weaker rows-only check).
+    majority vote weighted by token frequency.  Deterministic, and fully
+    oracle-checked: the DuckDB twin replays the same md5 hex-nibble bit
+    extraction SQL-side, so the driver records all three hard checks
+    (rows + schema + value hash) for ``dedup_simhash``.
     """
     toks = docs(spark, sf_dir).select(
         "doc_id", F.explode(F.split("text", " ")).alias("t")

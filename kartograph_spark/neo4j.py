@@ -30,8 +30,11 @@ def _ident(c):
 
 
 def _quote(c):
-    """Escape backslashes and double quotes for a Cypher string literal."""
-    return F.regexp_replace(F.regexp_replace(c, r"\\", r"\\\\"), '"', '\\\\"')
+    """Escape backslashes, double quotes and newlines for a Cypher string
+    literal — a raw newline in an arbitrary input name would otherwise
+    split the CREATE statement across two lines of the text sink."""
+    c = F.regexp_replace(F.regexp_replace(c, r"\\", r"\\\\"), '"', '\\\\"')
+    return F.regexp_replace(F.regexp_replace(c, "\n", r"\\n"), "\r", r"\\r")
 
 
 def cypher_constraints(nodes: DataFrame) -> list[str]:

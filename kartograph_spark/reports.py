@@ -71,13 +71,14 @@ def metrics_markdown(
         lines.append(f"- **Turns/sec**: {metrics['turns'] / dur:,.1f}")
     lines += ["", "## Quality", ""]
     n_err = metrics.get("validation_errors", 0)
-    n_triples = max(1, metrics.get("triples", 1))
+    # reference formula (metrics.py:94-99): 1 - errors/entities_extracted,
+    # defaulting to 1.0 when no entities were extracted
+    n_ent = metrics.get("entities", 0)
+    pass_rate = 1.0 - (n_err / n_ent) if n_ent > 0 else 1.0
     lines.append(f"- **Validation Errors**: {n_err}")
     lines.append(f"- **Broken References**: {metrics.get('broken_refs', 0)}")
     lines.append(f"- **Orphans**: {metrics.get('orphans', 0)}")
-    lines.append(
-        f"- **Validation Pass Rate**: {1.0 - min(1.0, n_err / n_triples):.1%}"
-    )
+    lines.append(f"- **Validation Pass Rate**: {pass_rate:.1%}")
     if entities_by_type:
         total = sum(entities_by_type.values()) or 1
         lines += ["", "## Entities by Type", "", "| Type | Count | Percentage |",

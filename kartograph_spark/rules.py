@@ -46,9 +46,16 @@ VERB_PATTERNS: list[tuple[str, str, str, str]] = [
     ("uses", r"\buses ([A-Z][A-Za-z0-9_+.-]*)", "usesTool", "Tool"),
     ("deployed_via", r"\bdeployed via ([A-Z][A-Za-z0-9_+.-]*)", "deployedVia", "Tool"),
     ("backed_by", r"\bbacked by ([A-Z][A-Za-z0-9_+.-]*)", "usesDatabase", "Database"),
+    # Team object = space-separated words EACH starting uppercase: the
+    # verb literals ("uses ", "deployed via ", "backed by ", "written in ",
+    # "maintained by ") all start lowercase, so no verb phrase can be
+    # nested inside a maintained_by object span — this keeps the combined
+    # single-pass scan equivalent to independent per-pattern scans (a
+    # charset admitting lowercase words would let 'maintained by the Team
+    # uses Docker team' swallow the inner 'uses Docker' mention).
     (
         "maintained_by",
-        r"\bmaintained by (?:the )?([A-Z][A-Za-z0-9 _-]*?) team",
+        r"\bmaintained by (?:the )?([A-Z][A-Za-z0-9_-]*(?: [A-Z][A-Za-z0-9_-]*)*?) team",
         "maintainedBy",
         "Team",
     ),
@@ -63,11 +70,15 @@ VERB_PATTERNS: list[tuple[str, str, str, str]] = [
 def combined_position_re() -> str:
     """One alternation regex over E1 URNs + all verb patterns, used to
     recover the interleaved document-order of anchors and relationship
-    mentions in a single non-overlapping scan (the patterns are mutually
-    non-overlapping: URNs are '<urn:...>'-bracketed, verb phrases start
-    with distinct lowercase literals and their objects cannot contain
-    '<').  The same string works in Python re and RE2 (DuckDB), so the
-    driver oracle replays the exact scan.
+    mentions in a single non-overlapping scan.  The patterns are mutually
+    non-overlapping by construction: URNs are '<urn:...>'-bracketed, verb
+    phrases start with distinct lowercase literals, single-token objects
+    cannot contain spaces or '<', and the one multi-word object charset
+    (maintained_by) requires every word to start uppercase so no
+    lowercase-leading verb literal fits inside its span — hence the
+    combined scan emits exactly what independent per-pattern scans would.
+    The same string works in Python re and RE2 (DuckDB), so the driver
+    oracle replays the exact scan.
 
     Groups: urn_t/urn_i for the URN type/id segments, one named group per
     verb kind holding the captured object.

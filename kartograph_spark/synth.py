@@ -249,16 +249,12 @@ def write_corpus(out_dir: str, n_conv: int = 200, seed: int = SEED, **kw) -> dic
     tr = gen_transcripts(n_conv=n_conv, seed=seed, **kw)
     al = gen_alias_dictionary(seed=seed)
     tr_path = os.path.join(out_dir, "transcripts.parquet")
-    # clear any previous layout: regenerating a smaller corpus into the
-    # same dir must not leave stale part files that corrupt the corpus
-    if os.path.isfile(tr_path):
-        os.remove(tr_path)
-    elif os.path.isdir(tr_path):
-        shutil.rmtree(tr_path)
     n_files = max(1, len(tr) // 25_000)
-    # write to a temp name + atomic rename: a concurrent reader (e.g. the
-    # driver running queries and oracles in separate processes) never sees
-    # a partially-written corpus
+    # Build the full replacement under a temp name FIRST, then swap: the
+    # old layout stays readable for the whole generation window, so a
+    # concurrent reader (e.g. the driver running queries and oracles in
+    # separate processes) never sees a partial OR absent corpus — only the
+    # complete old layout or the complete new one.
     tmp = tr_path + ".tmp"
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
@@ -275,7 +271,22 @@ def write_corpus(out_dir: str, n_conv: int = 200, seed: int = SEED, **kw) -> dic
                 index=False,
                 row_group_size=8192,
             )
-    os.replace(tmp, tr_path) if os.path.isfile(tmp) else os.rename(tmp, tr_path)
+    if os.path.isfile(tmp) and not os.path.isdir(tr_path):
+        os.replace(tmp, tr_path)  # atomic file-over-file / file-into-place
+    else:
+        # dir layouts (either side): move the old aside, rename the new in,
+        # drop the old — the path is absent only between two renames
+        old = tr_path + ".old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        elif os.path.isfile(old):
+            os.remove(old)
+        had_old = os.path.exists(tr_path)
+        if had_old:
+            os.rename(tr_path, old)
+        os.rename(tmp, tr_path)
+        if had_old:
+            shutil.rmtree(old) if os.path.isdir(old) else os.remove(old)
     al_tmp = os.path.join(out_dir, "alias_dictionary.parquet.tmp")
     al.to_parquet(al_tmp, index=False)
     os.replace(al_tmp, os.path.join(out_dir, "alias_dictionary.parquet"))

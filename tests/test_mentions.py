@@ -105,6 +105,26 @@ def test_verb_patterns():
     assert by_pred["writtenIn"] == "urn:ProgrammingLanguage:go"
 
 
+def test_verb_nested_in_maintained_by_span_not_swallowed():
+    """A verb phrase that would sit inside a lax maintained_by object span
+    must still be emitted: the maintained_by object charset requires every
+    word to start uppercase, so 'Team uses Docker' cannot be consumed as a
+    team name and the inner 'uses Docker' survives the combined scan."""
+    m = extract_mentions_block(
+        _turns("maintained by the Team uses Docker team")
+    )
+    by_pred = dict(zip(m["pred"], m["urn"]))
+    assert by_pred["usesTool"] == "urn:Tool:docker"
+    # the malformed multi-word span is NOT a maintained_by match
+    assert "maintainedBy" not in by_pred
+
+
+def test_maintained_by_multiword_uppercase_team():
+    m = extract_mentions_block(_turns("maintained by the Core Infra team"))
+    by_pred = dict(zip(m["pred"], m["urn"]))
+    assert by_pred["maintainedBy"] == "urn:Team:core-infra"
+
+
 def test_verb_subject_attribution_nearest_preceding():
     m = extract_mentions_block(
         _turns(

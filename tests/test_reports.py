@@ -57,7 +57,8 @@ def test_metrics_markdown():
         assert section in md
     assert "- **Duration**: 12.50s (0.2m)" in md
     assert "| `Tool` | 120 | 48.0% |" in md
-    assert "- **Validation Pass Rate**: 99.9%" in md
+    # reference formula (metrics.py:94-99): 1 - errors/entities = 1 - 7/310
+    assert "- **Validation Pass Rate**: 97.7%" in md
 
 
 def test_validation_markdown():
