@@ -91,18 +91,37 @@ def build_nodes(triples: DataFrame, strategy: str = "first") -> DataFrame:
         "conv_id",
         "turn_idx",
     )
+    # description: "use non-None description if available" scanning records
+    # in order (urn_deduplicator.py:124-127) == the LAST non-None one.
+    # None descriptions never become triples, so max over description
+    # triples in stable order is exactly that merge; first/last record
+    # strategies coincide with the pick on the triples that exist.
+    descs = triples.filter(F.col("pred") == "description").select(
+        F.col("subj").alias("urn"),
+        F.col("obj").alias("description"),
+        "conv_id",
+        "turn_idx",
+    )
     first_type = types.groupBy("urn").agg(
         pick(F.struct("conv_id", "turn_idx", "type")).alias("t")
     )
     first_name = names.groupBy("urn").agg(
         pick(F.struct("conv_id", "turn_idx", "name")).alias("n")
     )
-    return first_type.join(first_name, "urn", "left").select(
-        "urn",
-        F.col("t.type").alias("type"),
-        F.col("n.name").alias("name"),
-        F.col("t.conv_id").alias("first_conv_id"),
-        F.col("t.turn_idx").alias("first_turn_idx"),
+    last_desc = descs.groupBy("urn").agg(
+        F.max(F.struct("conv_id", "turn_idx", "description")).alias("d")
+    )
+    return (
+        first_type.join(first_name, "urn", "left")
+        .join(last_desc, "urn", "left")
+        .select(
+            "urn",
+            F.col("t.type").alias("type"),
+            F.col("n.name").alias("name"),
+            F.col("d.description").alias("description"),
+            F.col("t.conv_id").alias("first_conv_id"),
+            F.col("t.turn_idx").alias("first_turn_idx"),
+        )
     )
 
 

@@ -40,8 +40,8 @@ DEFAULT_CONTEXT = {
 
 def entity_frame(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """graph_nodes + graph_edges -> one row per entity with its outbound
-    refs grouped per predicate: (urn, type, name, refs: map<pred,
-    array<urn>>) — the relational shape of a JSON-LD entity."""
+    refs grouped per predicate: (urn, type, name, description, refs:
+    map<pred, array<urn>>) — the relational shape of a JSON-LD entity."""
     grouped = (
         edges.groupBy(F.col("subj").alias("urn"), "pred")
         .agg(F.sort_array(F.collect_set("obj")).alias("targets"))
@@ -52,8 +52,13 @@ def entity_frame(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             ).alias("refs")
         )
     )
+    desc = (
+        F.col("description")
+        if "description" in nodes.columns
+        else F.lit(None).cast("string").alias("description")
+    )
     return nodes.join(grouped, "urn", "left").select(
-        F.col("urn"), F.col("type"), F.col("name"), F.col("refs")
+        F.col("urn"), F.col("type"), F.col("name"), desc, F.col("refs")
     )
 
 
@@ -75,6 +80,7 @@ def _entity_json(df: DataFrame) -> DataFrame:
             F.col("urn").alias("@id"),
             F.col("type").alias("@type"),
             F.col("name").alias("name"),
+            F.col("description").alias("description"),
         )
     )
     # splice the refs map into the entity object (string-level merge keeps
@@ -115,6 +121,8 @@ def to_jsonld_document(
         ent: dict = {"@id": r["urn"], "@type": r["type"]}
         if r["name"] is not None:
             ent["name"] = r["name"]
+        if r["description"] is not None:
+            ent["description"] = r["description"]
         if r["refs"]:
             for pred in sorted(r["refs"]):
                 targets = [{"@id": t} for t in r["refs"][pred]]
@@ -133,16 +141,99 @@ def save_jsonld_document(
     return path
 
 
+def _types_from(c, dt: T.DataType):
+    """``@type`` -> array<string>, handling every shape the scalar/list
+    contract can reach after Spark JSON schema merge: a real array column,
+    a scalar string, or the raw ``["A","B"]`` token Spark falls back to
+    when entities disagree on the shape (load_dgraph.py:284-289 accepts
+    both scalar and list)."""
+    if isinstance(dt, T.ArrayType):
+        return F.filter(c.cast("array<string>"), lambda x: x.isNotNull())
+    c = c.cast("string")
+    return (
+        F.when(c.isNull(), F.lit(None).cast("array<string>"))
+        .when(F.ltrim(c).startswith("["), F.from_json(c, "array<string>"))
+        .otherwise(F.array(c))
+    )
+
+
 def load_jsonld_document(spark: SparkSession, path: str) -> DataFrame:
     """S4: single-document JSON-LD -> exploded entity DataFrame
-    (@id/@type/name plus the raw entity struct for property access)."""
+    (@id/@type/name plus the raw entity struct for property access).
+    ``types`` carries the full (possibly list-valued) ``@type``; ``type``
+    is its first element for the scalar-typed node model."""
     doc = spark.read.option("multiLine", "true").json(path)
     ents = doc.select(F.explode(F.col("`@graph`")).alias("e"))
+    fields = ents.schema["e"].dataType.fieldNames()
+
+    def fcol(name: str):
+        return (
+            F.col(f"e.`{name}`") if name in fields else F.lit(None).cast("string")
+        )
+
+    tdt = (
+        ents.schema["e"].dataType["@type"].dataType
+        if "@type" in fields
+        else T.StringType()
+    )
+    types = _types_from(fcol("@type"), tdt)
     return ents.select(
-        F.col("e.`@id`").alias("urn"),
-        F.col("e.`@type`").alias("type"),
-        F.col("e.name").alias("name"),
+        fcol("@id").alias("urn"),
+        F.element_at(types, 1).alias("type"),
+        types.alias("types"),
+        fcol("name").cast("string").alias("name"),
         F.col("e").alias("entity"),
+    )
+
+
+def load_jsonld_entities(spark: SparkSession, path: str) -> DataFrame:
+    """S4 (conversion path): JSON-LD document -> one VARIANT row per
+    entity: ``(urn, type, types, name, ent: variant)``.
+
+    VARIANT keeps each property's *runtime* type per row — exactly the
+    ``isinstance`` dispatch the reference's converter runs per value
+    (load_dgraph.py:297-346) — where a struct schema merge would corrupt
+    mixed-type predicates (a dict in one entity + a string in another
+    degrade to raw-JSON text under ``spark.read.json``).  The parse is
+    native JVM (no Python), and the same frame shape comes out of
+    ``load_jsonld_graph_lines`` for the distributed JSON-lines layout.
+    """
+    raw = spark.read.text(path, wholetext=True)
+    ents = raw.select(
+        F.explode(
+            F.variant_get(F.parse_json("value"), '$["@graph"]', "array<variant>")
+        ).alias("ent")
+    )
+    return _variant_entity_cols(ents)
+
+
+def load_jsonld_graph_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed variant loader for the JSON-lines graph layout written
+    by ``write_jsonld_graph`` (one entity object per line): same output
+    contract as ``load_jsonld_entities`` but scales to any graph size —
+    the text scan parallelizes per file split and ``parse_json`` runs
+    per partition."""
+    raw = spark.read.text(path)
+    ents = raw.filter(F.length(F.trim("value")) > 0).select(
+        F.parse_json("value").alias("ent")
+    )
+    return _variant_entity_cols(ents)
+
+
+def _variant_entity_cols(ents: DataFrame) -> DataFrame:
+    types = F.coalesce(
+        F.try_variant_get("ent", '$["@type"]', "array<string>"),
+        F.array_compact(F.array(F.try_variant_get("ent", '$["@type"]', "string"))),
+    )
+    # array() of a NULL scalar is [NULL]; compact to NULL-equivalent empty,
+    # then normalize empty -> NULL so "no @type" validates as missing
+    types = F.when(F.size(types) > 0, types)
+    return ents.select(
+        F.try_variant_get("ent", '$["@id"]', "string").alias("urn"),
+        F.element_at(types, 1).alias("type"),
+        types.alias("types"),
+        F.try_variant_get("ent", '$["name"]', "string").alias("name"),
+        F.col("ent"),
     )
 
 
@@ -267,56 +358,117 @@ def validate_jsonld_entities(ents: DataFrame) -> tuple[DataFrame, DataFrame]:
     return ents.filter(ok), bad
 
 
-def jsonld_to_triples(ents: DataFrame) -> DataFrame:
-    """load_dgraph.py steps 3-6 (§3.2) over loaded JSON-LD entities:
-    dgraph.type triple per entity (:284-290), name literal, normalized
-    property triples (P3), predicate cleaning (:357-382), literal
-    escaping + sanitization (:384-417), mixed-type uid>scalar resolution
-    (:172-206), URN percent-encoding (:351-355).
+def jsonld_to_triples(vents: DataFrame) -> DataFrame:
+    """The reference's JSON-LD -> N-Quads conversion, transcribed from
+    ``convert_to_nquads`` (load_dgraph.py:272-349) over the VARIANT
+    entity frame of ``load_jsonld_entities`` / ``load_jsonld_graph_lines``:
 
-    Output matches the engine's triple contract
-    (subj, pred, obj, obj_is_ref, dtype) — feed to ``to_nquads`` /
-    ``write_nquads`` for the reference's N-Quads lines.
+    - one ``dgraph.type`` triple per ``@type`` item, scalar or list,
+      emitted verbatim (no cleaning/escaping, :284-290);
+    - every other key (including ``@type`` -> ``type``, ``name`` and
+      ``description``) walks the items loop (:292-346):
+      ``{"@id": ...}`` values become uid triples; list-nested non-ref
+      dicts are JSON-stringified with quotes escaped, empty dicts
+      skipped (:313-322); scalar-position dicts are dropped
+      (``_format_literal`` returns None for dicts, :388-390); scalars
+      become typed literals with string escaping + the braces/'None'
+      sanitization (:384-417) — which also drops list-nested lists
+      (their string form contains brackets); plain ``urn:`` strings stay
+      literals (ref promotion is extraction-side normalization,
+      models.py:114-117, NOT part of this conversion);
+    - predicate cleaning (:357-382), uid>scalar mixed-type resolution
+      (:172-206 observed-type semantics), URN percent-encoding
+      (:351-355).  No dedup: the reference appends every emission.
+
+    Per-row runtime-type dispatch via ``schema_of_variant`` — the exact
+    ``isinstance`` ladder of the reference, fully JVM-side.  Output is
+    the engine triple contract (subj, pred, obj, obj_is_ref, dtype);
+    feed ``to_nquads`` / ``write_nquads`` for the N-Quads lines.
     """
     from kartograph_spark import triples as tr
 
-    def lit(x):
-        return F.lit(x)
+    lit = F.lit
 
-    head = ents.select(
+    # dgraph.type head rows: one per @type item, obj verbatim (:284-290)
+    head = vents.select(
         F.col("urn").alias("subj"),
         lit("dgraph.type").alias("pred"),
-        F.col("type").alias("obj"),
+        F.explode("types").alias("obj"),
         lit(False).alias("obj_is_ref"),
         lit("string").alias("dtype"),
-    ).unionByName(
-        ents.select(
-            F.col("urn").alias("subj"),
-            lit("name").alias("pred"),
-            F.col("name").alias("obj"),
-            lit(False).alias("obj_is_ref"),
-            lit("string").alias("dtype"),
-        )
     )
-    props = jsonld_property_triples(ents)
-    allt = head.unionByName(props)
 
-    # predicate cleaning — dgraph.type rows bypass it (:284-290)
+    # items loop (:292-346): every (key != @id, value) pair, arrays
+    # exploded to items with in_array marking the list-vs-scalar position
+    kv = vents.select(
+        F.col("urn").alias("subj"),
+        F.explode(F.try_variant_get("ent", "$", "map<string,variant>")).alias(
+            "pred", "v"
+        ),
+    ).filter(F.col("pred") != "@id")
+    vt = F.schema_of_variant("v")
+    is_arr = vt.startswith("ARRAY")
+    items = kv.select(
+        "subj",
+        "pred",
+        is_arr.alias("in_array"),
+        F.explode(
+            F.when(is_arr, F.try_variant_get("v", "$", "array<variant>")).otherwise(
+                F.array(F.col("v"))
+            )
+        ).alias("it"),
+    )
+    it_t = F.schema_of_variant("it")
+    ref = F.try_variant_get("it", '$["@id"]', "string")
+    it_s = F.col("it").cast("string")
+    # runtime-type ladder == the reference's isinstance dispatch
+    rows = items.select(
+        "subj",
+        "pred",
+        F.when(ref.isNotNull(), ref)
+        .when(
+            it_t.startswith("OBJECT"),
+            # list-nested dict -> JSON string (skip empty); scalar dict ->
+            # NULL (dropped below, :316-322 vs :388-390 asymmetry)
+            F.when(F.col("in_array") & (it_s != "{}"), it_s),
+        )
+        .when(it_t == "VOID", F.lit(None).cast("string"))
+        .when(it_t.startswith("ARRAY"), F.lit(None).cast("string"))
+        .otherwise(it_s)
+        .alias("obj"),
+        ref.isNotNull().alias("obj_is_ref"),
+        F.when(ref.isNotNull(), "uid")
+        .when(it_t.startswith("OBJECT"), "json")
+        .when(it_t == "BOOLEAN", "bool")
+        .when(
+            it_t.startswith("DECIMAL")
+            | (it_t == "DOUBLE")
+            | (it_t == "FLOAT"),
+            "float",
+        )
+        .when(it_t == "STRING", "string")
+        .otherwise("int")  # BIGINT / INT / SMALLINT / TINYINT
+        .alias("dtype"),
+    ).filter(F.col("obj").isNotNull())
+
+    allt = head.unionByName(rows)
+
+    # predicate cleaning — dgraph.type head rows bypass it (:284-290)
     cleaned = allt.withColumn(
         "pred",
-        F.when(
-            F.col("pred") == "dgraph.type", F.col("pred")
-        ).otherwise(tr.clean_predicate_col(F.col("pred"))),
+        F.when(F.col("pred") == "dgraph.type", F.col("pred")).otherwise(
+            tr.clean_predicate_col(F.col("pred"))
+        ),
     )
-    # plain string literals: escape + sanitize (:384-417); dgraph.type
-    # objs are type names (exempt, :284-290); 'json' rows are stringified
-    # dicts the reference emits directly with quotes escaped (:318-322)
+    # plain string literals: escape + sanitize (:401-417); dgraph.type
+    # objs are emitted verbatim (:284-290); 'json' rows are stringified
+    # dicts the reference emits with only quotes escaped (:318-322)
     is_plain = (
         (~F.col("obj_is_ref"))
         & (F.col("dtype") == "string")
         & (F.col("pred") != "dgraph.type")
     )
-    is_json = (~F.col("obj_is_ref")) & (F.col("dtype") == "json")
+    is_json = F.col("dtype") == "json"
     cleaned = (
         cleaned.withColumn(
             "obj",
@@ -332,9 +484,8 @@ def jsonld_to_triples(ents: DataFrame) -> DataFrame:
             ),
         )
     )
-    deduped = cleaned.distinct()
     resolved = tr.apply_uid_resolution(
-        deduped, tr.collect_uid_predicates(deduped)
+        cleaned, tr.collect_uid_predicates(cleaned)
     )
     return tr.encode_final(resolved)
 

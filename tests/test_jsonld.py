@@ -4,6 +4,7 @@ run on the seeded corpus."""
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import functions as F
 
@@ -107,52 +108,141 @@ def test_p3_property_normalization(spark, tmp_path):
     assert rows[("cpu", "1.5")] == (False, "float")
     assert rows[("active", "true")] == (False, "bool")
     assert not any(pred == "legacy" for pred, _ in rows)
+    # description is extraction-side reserved (models.py:159-160) — it is
+    # NOT an open property here; the LOAD conversion path (jsonld_to_triples)
+    # emits it separately per load_dgraph.py:292-346
     assert not any(pred == "description" for pred, _ in rows)
     # exactly the expected triple set, nothing extra
     assert len(rows) == 11
 
 
-def test_jsonld_to_triples_full_conversion(spark, tmp_path):
-    """load_dgraph steps 2-6 over an arbitrary loaded document: required-
-    field validation, type/name head triples, P3 props, predicate
-    cleaning, sanitize/escape, uid>scalar resolution, URN encoding."""
-    doc = {
-        "@context": {},
-        "@graph": [
-            {
-                "@id": "urn:Service:pay api",  # space -> %20 on encode
-                "@type": "Service",
-                "name": "Pay API",
-                "@owner": "urn:Team:platform",  # '@' stripped, ref promoted
-                "mixed": "urn:Team:platform",   # uid observation...
-                "config": {"a": 1},
-            },
-            {
-                "@id": "urn:Team:platform",
-                "@type": "Team",
-                "name": 'He said "hi"',  # quote escaping
-                "mixed": "plain string",  # ...so this scalar is dropped
-                "bad": "has {braces}",    # sanitized away
-            },
-            {"@id": "urn:X:incomplete", "@type": None, "name": None},
-        ],
-    }
-    p = tmp_path / "conv.jsonld"
-    p.write_text(json.dumps(doc))
-    ents = jsonld.load_jsonld_document(spark, str(p))
-    valid, errs = jsonld.validate_jsonld_entities(ents)
-    assert errs.count() == 1 and valid.count() == 2
+FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "fixtures",
+    "ref_graph.jsonld",
+)
 
-    t = {(r["subj"], r["pred"], r["obj"]): (r["obj_is_ref"], r["dtype"])
-         for r in jsonld.jsonld_to_triples(valid).collect()}
-    assert t[("urn:Service:pay%20api", "dgraph.type", "Service")] == (False, "string")
-    assert t[("urn:Service:pay%20api", "owner", "urn:Team:platform")] == (True, "uid")
-    assert t[("urn:Service:pay%20api", "mixed", "urn:Team:platform")] == (True, "uid")
-    assert t[("urn:Service:pay%20api", "config", '{\\"a\\":1}')] == (False, "string")
-    assert t[("urn:Team:platform", "name", 'He said \\"hi\\"')] == (False, "string")
-    # scalar on a uid predicate dropped; brace literal sanitized away
-    assert not any(k[1] == "mixed" and not v[0] for k, v in t.items())
-    assert not any(k[1] == "bad" for k in t)
+
+def _fixture_triples(spark):
+    vents = jsonld.load_jsonld_entities(spark, FIXTURE)
+    valid, errs = jsonld.validate_jsonld_entities(vents)
+    return jsonld.jsonld_to_triples(valid), errs
+
+
+def test_jsonld_conversion_strict_reference_contract(spark):
+    """Transcription of convert_to_nquads (load_dgraph.py:272-349) over
+    the committed reference-shaped fixture — every branch of the
+    reference's value ladder, asserted as the exact triple multiset."""
+    out, errs = _fixture_triples(spark)
+    # the name-less entity fails required-field validation
+    assert errs.count() == 1
+    rows = [(r["subj"], r["pred"], r["obj"], r["obj_is_ref"], r["dtype"])
+            for r in out.collect()]
+    t = set(rows)
+    assert len(rows) == len(t) == 29  # no dedup applied, no dupes planted
+    s1 = "urn:Service:payment%20api"
+
+    # list-valued @type: one dgraph.type AND one 'type' literal per item
+    assert (s1, "dgraph.type", "Service", False, "string") in t
+    assert (s1, "dgraph.type", "CriticalService", False, "string") in t
+    assert (s1, "type", "Service", False, "string") in t
+    assert (s1, "type", "CriticalService", False, "string") in t
+    # description: escaped literal (load_dgraph.py:401-407)
+    assert (s1, "description",
+            'Handles \\"all\\" payments\\nretries enabled', False, "string") in t
+    # refs: scalar-position and list-position @id dicts
+    assert (s1, "ownedBy", "urn:Team:platform", True, "uid") in t
+    assert (s1, "dependsOn", "urn:Service:auth", True, "uid") in t
+    assert (s1, "dependsOn", "urn:Database:pg-main", True, "uid") in t
+    # typed literals
+    assert (s1, "replicas", "4", False, "int") in t
+    assert (s1, "cpu", "1.5", False, "float") in t
+    assert (s1, "active", "true", False, "bool") in t
+    assert (s1, "tags", "hot", False, "string") in t
+    assert (s1, "tags", "tier-1", False, "string") in t
+    # scalar-position non-ref dict DROPPED (:388-390); list-position one
+    # JSON-stringified with quotes escaped, empty dict skipped (:313-322)
+    assert not any(p == "config" for _, p, *_ in t)
+    assert (s1, "endpoints", '{\\"path\\":\\"/pay\\"}', False, "string") in t
+    # plain urn: string stays a LITERAL on the load path (no promotion)
+    assert (s1, "repo", "urn:Repo:payments", False, "string") in t
+    # null property dropped
+    assert not any(p == "legacy" for _, p, *_ in t)
+
+    s2 = "urn:Team:platform"
+    # brace-containing description sanitized away (:408-417)
+    assert not any(s == s2 and p == "description" for s, p, *_ in t)
+    # '@' prefix stripped from property keys (:357-360)
+    assert (s2, "contact", "platform@example.com", False, "string") in t
+    assert (s2, "mixed", "urn:Service:auth", True, "uid") in t
+
+    s3 = "urn:Service:auth"
+    # mixed-type predicate: uid beats scalar (:172-206, :324-346)
+    assert not any(s == s3 and p == "mixed" for s, p, *_ in t)
+    # literal 'None' string sanitized away (:413-416)
+    assert not any(p == "notes" for _, p, *_ in t)
+    assert (s3, "description", "Token service", False, "string") in t
+
+    s4 = "urn:Database:pg-main"
+    # list-nested list dropped (str form has brackets, :408-417); sibling
+    # scalar kept; empty list emits nothing
+    assert (s4, "nested", "keep", False, "string") in t
+    assert sum(1 for s, p, *_ in t if s == s4 and p == "nested") == 1
+    assert not any(p == "empty_list" for _, p, *_ in t)
+
+
+def test_jsonld_conversion_duplicates_preserved(spark, tmp_path):
+    """The reference appends every emission without dedup — duplicate
+    list values must produce duplicate triples."""
+    doc = {"@context": {}, "@graph": [
+        {"@id": "urn:A:1", "@type": "T", "name": "A",
+         "tags": ["x", "x"],
+         "deps": [{"@id": "urn:B:2"}, {"@id": "urn:B:2"}]},
+    ]}
+    p = tmp_path / "dup.jsonld"
+    p.write_text(json.dumps(doc))
+    vents = jsonld.load_jsonld_entities(spark, str(p))
+    out = jsonld.jsonld_to_triples(vents).collect()
+    tags = [r for r in out if r["pred"] == "tags"]
+    deps = [r for r in out if r["pred"] == "deps"]
+    assert len(tags) == 2 and len(deps) == 2
+
+
+def test_jsonld_graph_lines_variant_loader(spark, tmp_path):
+    """Distributed JSON-lines loader produces the same conversion as the
+    single-document loader for equivalent content."""
+    ents = [
+        {"@id": "urn:A:1", "@type": ["T", "U"], "name": "A",
+         "description": "d", "ref": {"@id": "urn:B:2"}},
+        {"@id": "urn:B:2", "@type": "U", "name": "B"},
+    ]
+    doc = {"@context": {}, "@graph": ents}
+    p1 = tmp_path / "doc.jsonld"
+    p1.write_text(json.dumps(doc))
+    d2 = tmp_path / "lines"
+    d2.mkdir()
+    (d2 / "part-0.jsonl").write_text("\n".join(json.dumps(e) for e in ents))
+    a = jsonld.jsonld_to_triples(jsonld.load_jsonld_entities(spark, str(p1)))
+    b = jsonld.jsonld_to_triples(jsonld.load_jsonld_graph_lines(spark, str(d2)))
+    ka = sorted(map(tuple, a.collect()))
+    kb = sorted(map(tuple, b.collect()))
+    assert ka == kb and len(ka) == 10
+
+
+def test_load_jsonld_document_list_type(spark, tmp_path):
+    """S4 struct loader handles list-valued @type (load_dgraph.py:286-289):
+    ``types`` carries all items, ``type`` the first."""
+    doc = {"@context": {}, "@graph": [
+        {"@id": "urn:A:1", "@type": ["Service", "Critical"], "name": "A"},
+        {"@id": "urn:B:2", "@type": ["Team"], "name": "B"},
+    ]}
+    p = tmp_path / "lt.jsonld"
+    p.write_text(json.dumps(doc))
+    got = {r["urn"]: (r["type"], list(r["types"]))
+           for r in jsonld.load_jsonld_document(spark, str(p)).collect()}
+    assert got["urn:A:1"] == ("Service", ["Service", "Critical"])
+    assert got["urn:B:2"] == ("Team", ["Team"])
 
 
 def test_nquads_export(spark, transcripts_df, alias_df, tmp_path):
