@@ -240,6 +240,52 @@ e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
 """
 
 
+def _lsh_pairs_cte() -> str:
+    """Melted (band, mh) bucket self-join with the SAME star-emission
+    bucket cap the Spark path applies (dedup.LSH_MAX_BUCKET): buckets
+    above the cap emit only pairs anchored at the bucket-min doc, so pair
+    emission stays linear under mass-duplication skew in both engines."""
+    from kartograph_spark.datapipe.dedup import LSH_MAX_BUCKET
+
+    return f"""
+melted AS (
+    SELECT doc_id, unnest([mh1, mh2, mh3, mh4]) AS mh,
+           generate_subscripts([mh1, mh2, mh3, mh4], 1) AS band
+    FROM sigs
+),
+sized AS (
+    SELECT *, count(*) OVER (PARTITION BY band, mh) AS bsz,
+           min(doc_id) OVER (PARTITION BY band, mh) AS bmin
+    FROM melted
+),
+lshpairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS matched_bands
+    FROM sized a JOIN sized b
+      ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+    WHERE a.bsz <= {LSH_MAX_BUCKET} OR a.doc_id = a.bmin
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+)
+"""
+
+
+def _ngram_block_cte() -> str:
+    """Band-1 blocking for the Jaccard verify stage, with the same
+    star-emission cap (window over mh1 mirrors dedup._sized_buckets)."""
+    return """
+s AS (
+    SELECT sh.doc_id, list_distinct(sh.shingles) AS sset,
+           len(list_distinct(sh.shingles)) AS n, sigs.mh1
+    FROM sh JOIN sigs ON sh.doc_id = sigs.doc_id
+),
+ssz AS (
+    SELECT *, count(*) OVER (PARTITION BY mh1) AS bsz,
+           min(doc_id) OVER (PARTITION BY mh1) AS bmin
+    FROM s
+)
+"""
+
+
 def _bpe_tokens_sql() -> str:
     """BPE-ish token counts — same regex constant the Spark query uses."""
     from kartograph_spark.datapipe.textstats import BPE_RE
@@ -267,7 +313,12 @@ _IVF_SQL = (
     "WITH "
     + _COSINE_CTE
     + f"""
-, cents AS (SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id < 16),
+-- K = clamp(ceil(sqrt(N)), 4, 65536): the same resolve_n_centroids
+-- formula the Spark path derives from the (cached) corpus count
+, ivfp AS (SELECT greatest(4, least(65536,
+               CAST(ceil(sqrt(greatest(1, (SELECT count(*) FROM e)))) AS INTEGER))) AS nc),
+cents AS (SELECT vec_id AS cent_id, emb AS cemb
+          FROM e CROSS JOIN ivfp WHERE vec_id < ivfp.nc),
 scored AS (
     SELECT e.vec_id, e.emb, c.cent_id,
            list_dot_product(e.emb, c.cemb)
@@ -369,23 +420,13 @@ FROM votes GROUP BY doc_id
 _CC_SQL = (
     "WITH RECURSIVE "
     + _SHINGLES_CTE
+    + ", "
+    + _lsh_pairs_cte()
     + """
-, lsh AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS matched_bands
-    FROM (SELECT doc_id, unnest([mh1, mh2, mh3, mh4]) AS mh,
-                 generate_subscripts([mh1, mh2, mh3, mh4], 1) AS band
-          FROM sigs) a
-    JOIN (SELECT doc_id, unnest([mh1, mh2, mh3, mh4]) AS mh,
-                 generate_subscripts([mh1, mh2, mh3, mh4], 1) AS band
-          FROM sigs) b
-      ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
-    HAVING count(*) >= 2
-),
-edges AS (
-    SELECT CAST(doc_a AS VARCHAR) AS u, CAST(doc_b AS VARCHAR) AS v FROM lsh
+, edges AS (
+    SELECT CAST(doc_a AS VARCHAR) AS u, CAST(doc_b AS VARCHAR) AS v FROM lshpairs
     UNION
-    SELECT CAST(doc_b AS VARCHAR), CAST(doc_a AS VARCHAR) FROM lsh
+    SELECT CAST(doc_b AS VARCHAR), CAST(doc_a AS VARCHAR) FROM lshpairs
 ),
 reach AS (
     SELECT u AS node, u AS r FROM edges
@@ -886,33 +927,24 @@ FROM fp GROUP BY fp HAVING count(*) > 1
         "sim_ann_ivf": _IVF_SQL,
         "dedup_neardup_lsh": "WITH "
         + _SHINGLES_CTE
+        + ", "
+        + _lsh_pairs_cte()
         + """
-, cand AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1 AS band
-    FROM sigs a JOIN sigs b ON a.mh1 = b.mh1 AND a.doc_id < b.doc_id
-    UNION
-    SELECT a.doc_id, b.doc_id, 2 FROM sigs a JOIN sigs b ON a.mh2 = b.mh2 AND a.doc_id < b.doc_id
-    UNION
-    SELECT a.doc_id, b.doc_id, 3 FROM sigs a JOIN sigs b ON a.mh3 = b.mh3 AND a.doc_id < b.doc_id
-    UNION
-    SELECT a.doc_id, b.doc_id, 4 FROM sigs a JOIN sigs b ON a.mh4 = b.mh4 AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b, count(*) AS matched_bands, round(count(*) / 4.0, 2) AS est_jaccard
-FROM cand GROUP BY doc_a, doc_b HAVING count(*) >= 2
+SELECT doc_a, doc_b, matched_bands,
+       round(matched_bands / 4.0, 2) AS est_jaccard
+FROM lshpairs
 """,
         "dedup_ngram_jaccard": "WITH "
         + _SHINGLES_CTE
-        + """
-, s AS (
-    SELECT sh.doc_id, list_distinct(sh.shingles) AS sset,
-           len(list_distinct(sh.shingles)) AS n, sigs.mh1
-    FROM sh JOIN sigs ON sh.doc_id = sigs.doc_id
-)
+        + ", "
+        + _ngram_block_cte()
+        + f"""
 SELECT * FROM (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            round(len(list_intersect(a.sset, b.sset))
                  / (a.n + b.n - len(list_intersect(a.sset, b.sset))), 4) AS jaccard
-    FROM s a JOIN s b ON a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+    FROM ssz a JOIN ssz b ON a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+    WHERE a.bsz <= {dedup.LSH_MAX_BUCKET} OR a.doc_id = a.bmin
 ) WHERE jaccard >= 0.8
 """,
         "dedup_embedding_cosine": "WITH "

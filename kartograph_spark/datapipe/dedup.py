@@ -11,13 +11,24 @@ so the DuckDB oracles reproduce them bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kartograph_spark.datapipe.textstats import docs, fingerprints
 
 #: MinHash salts — 4 independent hash functions h_i(s) = md5(salt_i || s)
 MINHASH_SALTS = ("a|", "b|", "c|", "d|")
+
+#: Bucket-size guard for LSH pair emission.  A (band, val) bucket of k
+#: near-identical documents (boilerplate, empty strings) would emit
+#: O(k^2) within-bucket pairs — the classic dedup skew killer at corpus
+#: scale (k = 10^6 -> 10^12 pairs).  Buckets larger than this emit STAR
+#: edges (bucket-min doc -> member) instead of all pairs: emission is
+#: linear in bucket size, no member is dropped (every doc in an
+#: oversized bucket still appears in >= 1 pair, so connected-components
+#: consumers see the same clusters), and the switch is deterministic so
+#: the DuckDB oracles mirror it bit-for-bit via the same window count.
+LSH_MAX_BUCKET = 64
 
 
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,12 +79,39 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sized_buckets(melted: DataFrame, *keys: str) -> DataFrame:
+    """Attach per-bucket size + min doc over the LSH key columns.
+
+    The window partitions by the SAME key the candidate self-join uses, so
+    the sorted exchange it introduces is reused by the join (one shuffle
+    total, verified in the physical plan) — the guard is free at scale.
+    """
+    w = Window.partitionBy(*keys)
+    return melted.withColumn("bsz", F.count(F.lit(1)).over(w)).withColumn(
+        "bmin", F.min("doc_id").over(w)
+    )
+
+
+def _pair_guard(max_bucket: int):
+    """Join-side filter implementing the star-emission bucket cap: small
+    buckets emit all a<b pairs; oversized buckets only pairs anchored at
+    the bucket-min doc (bsz/bmin are identical on both join sides)."""
+    return (F.col("a.bsz") <= max_bucket) | (
+        F.col("a.doc_id") == F.col("a.bmin")
+    )
+
+
+def near_dup_pairs(
+    spark: SparkSession, sf_dir: str, max_bucket: int = LSH_MAX_BUCKET
+) -> DataFrame:
     """MinHash-LSH near-duplicate candidates: pairs sharing >= 2 of 4
     bands; est_jaccard = matched_bands / 4.
 
     Candidates come from 4 per-band equi-joins (union), then a group-by on
     the pair — the standard LSH band->bucket join, no quadratic pass.
+    Buckets larger than ``max_bucket`` emit star edges from the bucket-min
+    doc (see LSH_MAX_BUCKET): pair emission stays linear under mass-
+    duplication skew while every member remains represented.
     """
     sig = minhash_signatures(spark, sf_dir)
     # Melt to (doc_id, band, val) and self-join ONCE on the compound
@@ -81,14 +119,18 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the signature aggregation is computed once per side (reused exchange)
     # instead of eight times.  A pair can match a band at most once, so
     # count(*) per pair = matched bands.
-    melted = sig.select(
-        "doc_id",
-        F.posexplode(F.array("mh1", "mh2", "mh3", "mh4")).alias("band", "val"),
+    melted = _sized_buckets(
+        sig.select(
+            "doc_id",
+            F.posexplode(F.array("mh1", "mh2", "mh3", "mh4")).alias("band", "val"),
+        ),
+        "band",
+        "val",
     )
     bands = (
         melted.alias("a")
         .join(melted.alias("b"), ["band", "val"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter((F.col("a.doc_id") < F.col("b.doc_id")) & _pair_guard(max_bucket))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -107,20 +149,24 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, max_bucket: int = LSH_MAX_BUCKET
+) -> DataFrame:
     """Exact n-gram Jaccard over LSH candidates (verify stage of the
     near-dup pipeline): |A ∩ B| / |A ∪ B| on distinct 3-gram shingle sets,
-    computed only for pairs that share band 1 (blocking)."""
+    computed only for pairs that share band 1 (blocking).  The same
+    star-emission bucket cap as ``near_dup_pairs`` bounds the verify cost
+    under mass-duplication skew (see LSH_MAX_BUCKET)."""
     sh = (
         _shingles(spark, sf_dir)
         .select("doc_id", F.array_distinct("shingles").alias("sset"))
         .withColumn("n", F.size("sset"))
     )
     sig = minhash_signatures(spark, sf_dir).select("doc_id", "mh1")
-    s = sh.join(sig, "doc_id")
+    s = _sized_buckets(sh.join(sig, "doc_id"), "mh1")
     a, b = s.alias("a"), s.alias("b")
     pairs = a.join(b, F.col("a.mh1") == F.col("b.mh1")).filter(
-        F.col("a.doc_id") < F.col("b.doc_id")
+        (F.col("a.doc_id") < F.col("b.doc_id")) & _pair_guard(max_bucket)
     )
     inter = F.size(F.array_intersect(F.col("a.sset"), F.col("b.sset")))
     union = F.col("a.n") + F.col("b.n") - inter
@@ -152,7 +198,8 @@ def embedding_neardup(
 
     base = sim.embeddings(spark, sf_dir).select("vec_id", "emb")
     M = sim.lsh_plane_matrix(
-        n_bands or sim.DEFAULT_N_BANDS, sim.resolve_n_planes(base, n_planes)
+        n_bands or sim.DEFAULT_N_BANDS,
+        sim.resolve_n_planes(spark, sf_dir, n_planes),
     )
     e = sim.banded_buckets(base, M)
     a = e.select(

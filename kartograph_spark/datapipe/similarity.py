@@ -96,6 +96,21 @@ def embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: corpus row count per sf_dir — the LSH/IVF sizing formulas need N once;
+#: caching it avoids re-running a count job on every ann_lsh /
+#: embedding_neardup / ann_ivf call (parquet count is metadata-cheap but
+#: still a full job submission per call).
+_COUNT_CACHE: dict[str, int] = {}
+
+
+def corpus_count(spark: SparkSession, sf_dir: str) -> int:
+    if sf_dir not in _COUNT_CACHE:
+        _COUNT_CACHE[sf_dir] = spark.read.parquet(
+            f"{sf_dir}/embeddings.parquet"
+        ).count()
+    return _COUNT_CACHE[sf_dir]
+
+
 def _cosine(a, b):
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -213,9 +228,24 @@ def banded_buckets(e: DataFrame, matrix: list[list[list[int]]]) -> DataFrame:
     )
 
 
-#: IVF coarse quantizer size / probe count (driver-contract defaults)
-IVF_N_CENTROIDS = 16
+#: IVF probe count (driver-contract default)
 IVF_N_PROBE = 2
+IVF_MAX_CENTROIDS = 1 << 16
+
+
+def resolve_n_centroids(n_vectors: int) -> int:
+    """Corpus-scaled coarse-quantizer size: K = ceil(sqrt(N)), clamped to
+    [4, 65536].
+
+    Posting-list math: K centroids split N vectors into lists of expected
+    size N/K, and each query scores n_probe lists, so per-query work is
+    K (centroid scan) + n_probe * N/K (candidate scan) — minimized at
+    K = sqrt(N * n_probe) ~ sqrt(N), giving O(sqrt(N)) per query instead
+    of the O(N) a fixed K degenerates to.  At N = 10^9: K = 31,623,
+    posting lists ~31.6k vectors, ~63k scored per query at n_probe=2.
+    Mirrored verbatim in the driver oracle SQL (greatest/least/ceil/sqrt),
+    exactly like lsh_n_planes."""
+    return max(4, min(IVF_MAX_CENTROIDS, math.ceil(math.sqrt(max(1, n_vectors)))))
 
 
 def ann_ivf(
@@ -223,10 +253,10 @@ def ann_ivf(
     sf_dir: str,
     k: int = 5,
     n_queries: int = 10,
-    n_centroids: int = IVF_N_CENTROIDS,
+    n_centroids: int | None = None,
     n_probe: int = IVF_N_PROBE,
 ) -> DataFrame:
-    """IVF-shaped ANN: a fixed deterministic coarse quantizer (the first
+    """IVF-shaped ANN: a deterministic coarse quantizer (the first
     ``n_centroids`` corpus vectors) partitions the corpus into posting
     lists; queries probe their ``n_probe`` nearest centroids and score
     exact cosine only inside those lists.
@@ -234,10 +264,14 @@ def ann_ivf(
     Scale shape: assignment is a broadcast crossJoin against the (tiny)
     centroid set — corpus x K map-side rows, no shuffle — and the
     candidate join is an equi-join on cent_id, so the posting list is the
-    shuffle key exactly like an LSH bucket.  At production scale the
-    quantizer would come from k-means (same plan once centroids exist)
-    and n_centroids ~ sqrt(N) keeps posting lists ~sqrt(N)-sized.
+    shuffle key exactly like an LSH bucket.  ``n_centroids=None`` derives
+    K ~ sqrt(N) from the (cached) corpus count — see resolve_n_centroids
+    for the posting-list math.  At production scale the quantizer would
+    come from k-means (same plan once centroids exist); the first-K
+    quantizer keeps both engines deterministic.
     """
+    if n_centroids is None:
+        n_centroids = resolve_n_centroids(corpus_count(spark, sf_dir))
     e = embeddings(spark, sf_dir).select("vec_id", "emb")
     cents = e.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
@@ -278,9 +312,15 @@ def ann_ivf(
     )
 
 
-def resolve_n_planes(e: DataFrame, n_planes: int | None) -> int:
-    """None -> corpus-scaled plane count (one metadata-cheap count job)."""
-    return n_planes if n_planes is not None else lsh_n_planes(e.count())
+def resolve_n_planes(
+    spark: SparkSession, sf_dir: str, n_planes: int | None
+) -> int:
+    """None -> corpus-scaled plane count (count cached per sf_dir)."""
+    return (
+        n_planes
+        if n_planes is not None
+        else lsh_n_planes(corpus_count(spark, sf_dir))
+    )
 
 
 def ann_lsh(
@@ -297,7 +337,7 @@ def ann_lsh(
     from the corpus size (lsh_n_planes) so buckets stay ~constant-size at
     any scale — see module docstring for the math."""
     base = embeddings(spark, sf_dir).select("vec_id", "emb")
-    M = lsh_plane_matrix(n_bands, resolve_n_planes(base, n_planes))
+    M = lsh_plane_matrix(n_bands, resolve_n_planes(spark, sf_dir, n_planes))
     e = banded_buckets(base, M)
     q = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"),

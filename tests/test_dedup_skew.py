@@ -1,0 +1,102 @@
+"""Bucket-size guard for LSH pair emission (the dedup skew killer).
+
+A mass-duplicated document (boilerplate, empty strings) puts k docs into
+the same (band, val) bucket in every band; an uncapped within-bucket join
+emits O(k^2) pairs (k = 10^6 -> 10^12 at corpus scale).  The guard
+switches oversized buckets to star emission from the bucket-min doc:
+pair count is linear, every member stays represented, and connected-
+components consumers see the same clusters.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from kartograph_spark.components import canonical_map
+from kartograph_spark.datapipe import dedup
+
+CLUSTER = 500  # >> LSH_MAX_BUCKET(64); all-pairs would be ~125k rows
+
+
+def _write_corpus(tmp_path) -> str:
+    boiler = (
+        "the same boilerplate text repeated verbatim across the corpus "
+        "over and over once more"
+    )
+    rows = [
+        {"doc_id": i, "text": boiler, "n_chars": len(boiler), "lang": "en"}
+        for i in range(CLUSTER)
+    ]
+    # a small duplicate group (3 < cap: all-pairs behavior must survive)
+    small = "three documents share this small duplicate body of text here"
+    for i in range(3):
+        rows.append(
+            {
+                "doc_id": 9000 + i,
+                "text": small,
+                "n_chars": len(small),
+                "lang": "en",
+            }
+        )
+    # distinct singletons (no pairs at all)
+    for i in range(5):
+        uniq = f"unique document number {i} talks about topic{i} alone entirely"
+        rows.append(
+            {
+                "doc_id": 9500 + i,
+                "text": uniq,
+                "n_chars": len(uniq),
+                "lang": "en",
+            }
+        )
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def test_lsh_bucket_cap_bounds_skewed_cluster(spark, tmp_path):
+    sf = _write_corpus(tmp_path)
+    pairs = dedup.near_dup_pairs(spark, sf).toPandas()
+
+    cluster = pairs[(pairs.doc_a < CLUSTER) & (pairs.doc_b < CLUSTER)]
+    # star emission: k-1 pairs anchored at the bucket-min doc, not k(k-1)/2
+    assert len(cluster) == CLUSTER - 1
+    assert (cluster.doc_a == 0).all()
+    assert set(cluster.doc_b) == set(range(1, CLUSTER))
+    # identical docs share every band
+    assert (cluster.matched_bands == 4).all()
+    assert (cluster.est_jaccard == 1.0).all()
+
+    # sub-cap duplicate group keeps full all-pairs emission
+    small = pairs[pairs.doc_a >= 9000]
+    assert sorted(map(tuple, small[["doc_a", "doc_b"]].to_numpy())) == [
+        (9000, 9001),
+        (9000, 9002),
+        (9001, 9002),
+    ]
+    # singletons emit nothing
+    assert not ((pairs.doc_a >= 9500) | (pairs.doc_b >= 9500)).any()
+
+
+def test_lsh_cap_preserves_connected_components(spark, tmp_path):
+    sf = _write_corpus(tmp_path)
+    edges = dedup.near_dup_pairs(spark, sf).select(
+        F.col("doc_a").cast("string").alias("src"),
+        F.col("doc_b").cast("string").alias("dst"),
+    )
+    cm = canonical_map(edges).toPandas()
+    got = dict(zip(cm.member_urn, cm.canonical_urn))
+    # the whole planted cluster collapses to one component rooted at min
+    assert {got[str(i)] for i in range(1, CLUSTER)} == {"0"}
+    assert got["9001"] == "9000" and got["9002"] == "9000"
+
+
+def test_ngram_jaccard_verify_stage_capped(spark, tmp_path):
+    sf = _write_corpus(tmp_path)
+    jac = dedup.ngram_jaccard_pairs(spark, sf).toPandas()
+    cluster = jac[(jac.doc_a < CLUSTER) & (jac.doc_b < CLUSTER)]
+    assert len(cluster) == CLUSTER - 1
+    assert (cluster.doc_a == 0).all()
+    assert (cluster.jaccard == 1.0).all()
+    small = jac[jac.doc_a >= 9000]
+    assert len(small) == 3 and (small.jaccard == 1.0).all()
