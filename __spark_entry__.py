@@ -106,6 +106,56 @@ def _kg_entity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: committed reference-shaped JSON-LD fixture exercising every branch of
+#: the conversion contract (load_dgraph.py:272-349)
+_JSONLD_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "data", "fixtures", "ref_graph.jsonld"
+)
+
+
+def _kg_jsonld_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 load + JSON-LD -> N-Quads conversion parity
+    (load_dgraph.py:272-349): variant entity loader, required-field
+    validation, dgraph.type + description/type literal triples, list
+    @type, predicate cleaning, escape/sanitize, uid>scalar resolution,
+    URN encoding.  sf_dir unused — the committed fixture is the input."""
+    from kartograph_spark import jsonld
+
+    vents = jsonld.load_jsonld_entities(spark, _JSONLD_FIXTURE)
+    valid, _errs = jsonld.validate_jsonld_entities(vents)
+    return jsonld.jsonld_to_triples(valid)
+
+
+def _kg_entity_edges_xturn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-turn variant of kg_entity_edges: the applyInPandas grouped
+    extraction carries the last E1 anchor FORWARD ACROSS TURNS of the
+    conversation (orchestrator.py:294-325 per-chunk context analog), so a
+    verb mention in an anchorless turn attributes to the most recent
+    anchor in any earlier turn; Conversation fallback only before the
+    first anchor.  Oracle: same combined scan with the anchor window
+    partitioned by conv_id ordered by (turn_idx, cpos)."""
+    from kartograph_spark import rules
+    from kartograph_spark.extraction.mentions import extract_mentions_grouped
+
+    d = _synth_corpus()
+    tr = spark.read.parquet(f"{d}/transcripts.parquet")
+    verb_kinds = [k for k, *_ in rules.VERB_PATTERNS]
+    return (
+        extract_mentions_grouped(tr, cross_turn_anchors=True)
+        .filter(F.col("kind").isin(verb_kinds))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.coalesce(
+                "subj_urn", F.concat(F.lit("urn:Conversation:"), F.col("conv_id"))
+            ).alias("subj"),
+            "pred",
+            F.col("urn").alias("obj"),
+            "match_idx",
+        )
+    )
+
+
 def _kg_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components canonicalization over MinHash near-dup pairs
     (iterative large-star/small-star — not SQL-expressible)."""
@@ -174,6 +224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # transcript KG extraction (seeded corpus, read_parquet oracles)
         "kg_transcript_mentions": _kg_transcript_mentions,
         "kg_entity_edges": _kg_entity_edges,
+        "kg_entity_edges_xturn": _kg_entity_edges_xturn,
+        "kg_jsonld_conversion": _kg_jsonld_conversion,
         # iterative / pipeline
         "kg_connected_components": _kg_connected_components,
         "kg_pipeline_synthetic": _kg_pipeline_triples,
@@ -449,6 +501,117 @@ def _sql_urn_encode(expr: str) -> str:
             e=expr, c=ch.replace("'", "''"), r=rep
         )
     return expr
+
+
+def _jsonld_conversion_sql() -> str:
+    """DuckDB twin of the JSON-LD -> triples conversion: the same
+    runtime-type ladder (json_type == schema_of_variant dispatch), items
+    loop, cleaning/escaping/sanitization, uid resolution and URN encoding
+    as jsonld_to_triples — over the identical committed fixture bytes."""
+    enc = _sql_urn_encode
+    return f"""
+WITH raw AS (SELECT content FROM read_text('{_JSONLD_FIXTURE}')),
+ents0 AS (SELECT unnest(json_extract(content::JSON, '$."@graph"[*]')) AS ent FROM raw),
+typed AS (
+    SELECT ent,
+           json_extract_string(ent, '$."@id"') AS urn,
+           json_extract_string(ent, '$.name') AS name,
+           CASE WHEN json_type(ent, '$."@type"') = 'ARRAY'
+                THEN list_filter(CAST(json_extract(ent, '$."@type"') AS VARCHAR[]),
+                                 x -> x IS NOT NULL)
+                WHEN json_type(ent, '$."@type"') IS NULL THEN NULL
+                ELSE [json_extract_string(ent, '$."@type"')] END AS types
+    FROM ents0
+),
+valid AS (
+    SELECT * FROM typed
+    WHERE urn IS NOT NULL AND name IS NOT NULL
+      AND types IS NOT NULL AND len(types) > 0
+),
+head AS (
+    SELECT urn AS subj, 'dgraph.type' AS pred, unnest(types) AS obj,
+           FALSE AS obj_is_ref, 'string' AS dtype
+    FROM valid
+),
+kv AS (SELECT urn AS subj, unnest(json_keys(ent)) AS pred, ent FROM valid),
+kv2 AS (
+    SELECT subj, pred, json_extract(ent, '$."' || pred || '"') AS v
+    FROM kv WHERE pred <> '@id'
+),
+items AS (
+    SELECT subj, pred, TRUE AS in_array, unnest(json_extract(v, '$[*]')) AS it
+    FROM kv2 WHERE json_type(v) = 'ARRAY'
+    UNION ALL
+    SELECT subj, pred, FALSE, v FROM kv2 WHERE json_type(v) <> 'ARRAY'
+),
+it2 AS (
+    SELECT subj, pred, in_array, it, json_type(it) AS it_t,
+           json_extract_string(it, '$."@id"') AS ref,
+           it::VARCHAR AS it_s
+    FROM items
+),
+rows_ AS (
+    SELECT subj, pred,
+        CASE WHEN it_t = 'OBJECT' AND ref IS NOT NULL THEN ref
+             WHEN it_t = 'OBJECT'
+                 THEN (CASE WHEN in_array AND it_s <> '{{}}' THEN it_s END)
+             WHEN it_t = 'NULL' OR it_t = 'ARRAY' THEN NULL
+             ELSE json_extract_string(it, '$') END AS obj,
+        (it_t = 'OBJECT' AND ref IS NOT NULL) AS obj_is_ref,
+        CASE WHEN it_t = 'OBJECT' AND ref IS NOT NULL THEN 'uid'
+             WHEN it_t = 'OBJECT' THEN 'json'
+             WHEN it_t = 'BOOLEAN' THEN 'bool'
+             WHEN it_t = 'DOUBLE' THEN 'float'
+             WHEN it_t = 'VARCHAR' THEN 'string'
+             ELSE 'int' END AS dtype
+    FROM it2
+),
+allt AS (
+    SELECT * FROM head
+    UNION ALL
+    SELECT * FROM rows_ WHERE obj IS NOT NULL
+),
+cleaned0 AS (
+    SELECT subj,
+           CASE WHEN pred = 'dgraph.type' THEN pred
+                ELSE (CASE WHEN c3 LIKE 'dgraph.%' THEN '_' || c3 ELSE c3 END)
+           END AS pred,
+           obj, obj_is_ref, dtype
+    FROM (
+        SELECT *, CASE WHEN c2 = 'uid' THEN '_uid' ELSE c2 END AS c3
+        FROM (
+            SELECT *,
+                   regexp_replace(regexp_replace(pred, '^@+', ''),
+                                  '[$:/\\\\]', '_', 'g') AS c2
+            FROM allt
+        )
+    )
+),
+esc AS (
+    SELECT subj, pred,
+        CASE WHEN NOT obj_is_ref AND dtype = 'string' AND pred <> 'dgraph.type'
+             THEN replace(replace(replace(obj, '\\', '\\\\'), '"', '\\"'),
+                          chr(10), '\\n')
+             WHEN dtype = 'json' THEN replace(obj, '"', '\\"')
+             ELSE obj END AS obj,
+        obj_is_ref,
+        CASE WHEN dtype = 'json' THEN 'string' ELSE dtype END AS dtype,
+        (NOT obj_is_ref AND dtype = 'string' AND pred <> 'dgraph.type')
+            AS was_plain
+    FROM cleaned0
+),
+san AS (
+    SELECT subj, pred, obj, obj_is_ref, dtype FROM esc
+    WHERE NOT was_plain
+       OR NOT (regexp_matches(obj, '[{{}}\\[\\]]') OR obj = 'None')
+),
+uidp AS (SELECT DISTINCT pred FROM san WHERE obj_is_ref)
+SELECT {enc('subj')} AS subj, pred,
+       CASE WHEN obj_is_ref THEN {enc('obj')} ELSE obj END AS obj,
+       obj_is_ref, dtype
+FROM san
+WHERE obj_is_ref OR pred NOT IN (SELECT pred FROM uidp)
+"""
 
 
 def _pipeline_oracle_sql(path: str) -> str:
@@ -809,7 +972,9 @@ FROM d WHERE rn = 1
         pred_arms.append(f"WHEN '{kind}' THEN '{pred}'")
         etype_arms.append(f"WHEN '{kind}' THEN '{etype}'")
     comb = rules.COMBINED_POSITION_RE_SQL
-    edges_sql = f"""
+
+    def edges_sql(anchor_window: str) -> str:
+        return f"""
 WITH {tr_cte},
 seq AS (
     SELECT conv_id, turn_idx,
@@ -829,7 +994,7 @@ anch AS (
                            THEN 'urn:' || regexp_extract(mtxt, '<urn:([^:]+):([^>]+)>', 1)
                                 || ':' || regexp_extract(mtxt, '<urn:([^:]+):([^>]+)>', 2)
                       END IGNORE NULLS)
-             OVER (PARTITION BY conv_id, turn_idx ORDER BY cpos
+             OVER ({anchor_window}
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS anchor
     FROM cls
 ),
@@ -859,9 +1024,15 @@ SELECT conv_id, turn_idx,
        pred, obj, CAST(match_idx AS BIGINT) AS match_idx
 FROM dd WHERE rn = 1
 """
+
     return {
         "kg_transcript_mentions": mentions_sql,
-        "kg_entity_edges": edges_sql,
+        "kg_entity_edges": edges_sql(
+            "PARTITION BY conv_id, turn_idx ORDER BY cpos"
+        ),
+        "kg_entity_edges_xturn": edges_sql(
+            "PARTITION BY conv_id ORDER BY turn_idx, cpos"
+        ),
         "kg_pipeline_synthetic": _pipeline_oracle_sql(path),
     }
 
@@ -923,6 +1094,7 @@ FROM fp GROUP BY fp HAVING count(*) > 1
         + _SHINGLES_CTE
         + "SELECT doc_id, mh1, mh2, mh3, mh4 FROM sigs",
         "dedup_simhash": _SIMHASH_SQL,
+        "kg_jsonld_conversion": _jsonld_conversion_sql(),
         "kg_connected_components": _CC_SQL,
         "sim_ann_ivf": _IVF_SQL,
         "dedup_neardup_lsh": "WITH "
