@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from kartograph_spark import triples as tr
@@ -100,23 +100,26 @@ def run_mentions_stage(
         mentions = extract_mentions(sub).withColumn(
             "bucket", bucket_col(cfg.n_buckets)
         )
+        # Per-bucket lineage counts ride the write job as observed metrics
+        # (count(CASE bucket) per pending bucket) instead of re-reading and
+        # re-aggregating the table afterwards — one job, not two; zero
+        # counts for mention-less buckets fall out of count(NULL) = 0.
+        obs = Observation("mention_bucket_counts")
+        mentions = mentions.observe(
+            obs,
+            *[
+                F.count(F.when(F.col("bucket") == b, 1)).alias(f"b{b}")
+                for b in pending
+            ],
+        )
         (
             mentions.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
             .parquet(store.path("mentions"))
         )
-        written = spark.read.parquet(store.path("mentions"))
-        counts = {
-            int(r["bucket"]): int(r["n"])
-            for r in written.groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-            if int(r["bucket"]) in pending
-        }
-        # buckets with zero mentions still count as completed
-        for b in pending:
-            counts.setdefault(b, 0)
+        got = obs.get
+        counts = {b: int(got[f"b{b}"]) for b in pending}
         record_completed(store.root, "mentions", cfg.config_hash, counts)
     return spark.read.parquet(store.path("mentions")).drop("bucket")
 

@@ -155,3 +155,35 @@ def test_build_nodes_first_vs_last(spark):
     assert first["name"] == "API 1 - First" and first["first_turn_idx"] == 0
     last = build_nodes(df, strategy="last").collect()[0]
     assert last["name"] == "API 1 - Second" and last["first_turn_idx"] == 5
+
+
+def test_build_nodes_description_last_non_none(spark):
+    """Description merge = 'use non-None description if available' scanning
+    records in order (urn_deduplicator.py:124-127): the LAST record with a
+    description wins, records without one never overwrite it — regardless
+    of the first/last attribute strategy."""
+    from kartograph_spark.graph import build_nodes
+
+    rows = [
+        ("urn:Service:a", "dgraph.type", "Service", False, "string", "c1", 0),
+        ("urn:Service:a", "name", "A", False, "string", "c1", 0),
+        ("urn:Service:a", "description", "first desc", False, "string", "c1", 1),
+        ("urn:Service:a", "description", "second desc", False, "string", "c1", 4),
+        # later record mentions the entity again WITHOUT a description
+        ("urn:Service:a", "dgraph.type", "Service", False, "string", "c2", 9),
+        # entity with no description at all -> NULL
+        ("urn:Service:b", "dgraph.type", "Service", False, "string", "c1", 2),
+        ("urn:Service:b", "name", "B", False, "string", "c1", 2),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_ref boolean, dtype string,"
+        " conv_id string, turn_idx long",
+    )
+    for strategy in ("first", "last"):
+        got = {
+            r["urn"]: r["description"]
+            for r in build_nodes(df, strategy=strategy).collect()
+        }
+        assert got["urn:Service:a"] == "second desc"
+        assert got["urn:Service:b"] is None
