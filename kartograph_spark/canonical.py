@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from kartograph_spark import rules
 from kartograph_spark.components import canonical_map
-from kartograph_spark.linking import link_pairs, same_name_pairs
+from kartograph_spark.linking import alias_norm_col
 
 
 def build_type_normalization(mentions: DataFrame) -> DataFrame:
@@ -85,12 +85,70 @@ def coreference_pairs(
 ) -> DataFrame:
     """Union of dictionary-hit pairs (confidence 1.0) and same-blocking-key
     pairs (0.9), gated at the reference's default agent similarity
-    threshold 0.85 (config.py:98-103; gate agent_deduplicator.py:347-355)."""
-    pairs = link_pairs(mentions, alias_dict).unionByName(
-        same_name_pairs(mentions)
+    threshold 0.85 (config.py:98-103; gate agent_deduplicator.py:347-355).
+
+    Both families derive from ONE corpus-scan aggregation: a single
+    map-side-combinable groupBy on (bkey, entity_type) collects the URN
+    vocabulary per key plus the dictionary-candidate subset (kind != urn).
+    The dictionary is broadcast-LEFT-joined onto that vocabulary frame and
+    both pair kinds explode out of the same row — a single consumer, so
+    the corpus-sized map + shuffle genuinely runs once (a union of two
+    branches would let column pruning specialize each branch's partial
+    aggregate and defeat exchange reuse).  A final vocabulary-sized
+    dropDuplicates absorbs the row multiplication a dictionary
+    blocking-key collision introduces.  The separate link_pairs /
+    same_name_pairs entry points each scan the corpus and remain for
+    standalone use."""
+    grouped = (
+        mentions.select(
+            alias_norm_col(F.col("name")).alias("bkey"),
+            F.col("entity_type"),
+            F.col("urn"),
+            F.when(F.col("kind") != "urn", F.col("urn")).alias("cand_urn"),
+        )
+        .groupBy("bkey", "entity_type")
+        .agg(
+            F.sort_array(F.collect_set("urn")).alias("urns"),
+            F.sort_array(F.collect_set("cand_urn")).alias("cand"),
+        )
     )
-    return pairs.filter(F.col("confidence") >= confidence_threshold).select(
-        "src", "dst"
+    dictj = grouped.join(
+        F.broadcast(
+            alias_dict.select(F.col("alias_norm").alias("bkey"), "canonical_urn")
+        ),
+        "bkey",
+        "left",
+    )
+    # same-blocking-key star pairs (0.9): slice(urns, 2, size-1) vs the
+    # group minimum; empty when the group holds a single URN
+    star = F.transform(
+        F.expr("slice(urns, 2, size(urns) - 1)"),
+        lambda u: F.struct(
+            u.alias("src"),
+            F.col("urns")[0].alias("dst"),
+            F.lit(0.9).alias("confidence"),
+        ),
+    )
+    # dictionary-hit pairs (1.0): every non-urn candidate under the key ->
+    # its canonical; empty when the key has no dictionary entry
+    hits = F.filter(
+        F.transform(
+            "cand",
+            lambda u: F.struct(
+                u.alias("src"),
+                F.col("canonical_urn").alias("dst"),
+                F.lit(1.0).alias("confidence"),
+            ),
+        ),
+        lambda s: F.col("canonical_urn").isNotNull() & (s["src"] != s["dst"]),
+    )
+    pairs = dictj.select(F.explode(F.concat(star, hits)).alias("p")).select(
+        "p.src", "p.dst", F.col("p.confidence").alias("confidence")
+    )
+    return (
+        pairs.filter(F.col("confidence") >= confidence_threshold)
+        .dropDuplicates(["src", "dst"])
+        .select("src", "dst")
     )
 
 

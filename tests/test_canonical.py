@@ -99,3 +99,56 @@ def test_canonicalize_applies_dictionary(spark, alias_df):
     assert row["urn"] == "urn:Service:payment-api"
     assert row["entity_type"] == "Service"
     assert row["name"] == "Payment API"
+
+
+def test_coreference_pairs_single_scan_equivalence(spark):
+    """The one-scan grouped formulation of coreference_pairs emits exactly
+    the pair set of link_pairs ∪ same_name_pairs across the edge cases:
+    blocking-key collisions in the dictionary, same key under multiple
+    entity types, candidate == canonical (excluded), kind='urn' precedence
+    (never a dictionary candidate), and null-name groups."""
+    from pyspark.sql import functions as F
+
+    from kartograph_spark.canonical import coreference_pairs
+    from kartograph_spark.linking import link_pairs, same_name_pairs
+
+    mrows = [
+        ("urn", "urn:Service:pay-api", "Service", "pay api"),
+        ("verb", "urn:Service:pay-api2", "Service", "Pay_API"),
+        ("verb", "urn:Service:pay-api3", "Service", "pay  api"),
+        ("verb", "urn:Team:pay-api", "Team", "pay api"),
+        ("verb", "urn:Tool:docker", "Tool", "Docker"),
+        ("urn", "urn:Tool:docker-x", "Tool", "docker"),
+        ("verb", "urn:Tool:kube", "Tool", "collide"),
+        ("verb", "urn:Service:kube-svc", "Service", "Collide"),
+        ("verb", "urn:Tool:canon-a", "Tool", "selfhit"),
+        ("verb", "urn:X:nn1", "X", None),
+        ("verb", "urn:X:nn2", "X", None),
+    ]
+    m = spark.createDataFrame(
+        mrows, "kind string, urn string, entity_type string, name string"
+    )
+    arows = [
+        ("pay api", "urn:Service:payments", "Service", "Payments"),
+        ("collide", "urn:Tool:canon1", "Tool", "C1"),
+        ("collide", "urn:Tool:canon2", "Tool", "C2"),
+        ("selfhit", "urn:Tool:canon-a", "Tool", "A"),
+        ("docker", "urn:Tool:docker-canonical", "Tool", "Docker"),
+    ]
+    al = spark.createDataFrame(
+        arows,
+        "alias_norm string, canonical_urn string, entity_type string,"
+        " canonical_name string",
+    )
+    old = set(
+        map(
+            tuple,
+            link_pairs(m, al)
+            .unionByName(same_name_pairs(m))
+            .filter(F.col("confidence") >= 0.85)
+            .select("src", "dst")
+            .collect(),
+        )
+    )
+    new = set(map(tuple, coreference_pairs(m, al, 0.85).collect()))
+    assert old == new and len(new) == 12
