@@ -15,7 +15,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kartograph_spark.datapipe import dedup, multimodal, relational, similarity, textstats
+from kartograph_spark.datapipe import (
+    dedup,
+    multimodal,
+    relational,
+    sampling,
+    similarity,
+    textstats,
+)
 from kartograph_spark.datapipe.textstats import VOCAB_RE
 
 # --------------------------------------------------------------------------
@@ -185,6 +192,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_quality": textstats.lang_quality,
         "text_fingerprints": textstats.fingerprints,
         "text_bpe_tokens": textstats.bpe_tokens,
+        # dataset assembly (training-data pipeline tail)
+        "pipe_stratified_sample": sampling.stratified_sample,
+        "pipe_seq_packing": sampling.seq_packing,
         # dedup family
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_signatures": dedup.minhash_signatures,
@@ -442,6 +452,57 @@ def _lsh_band_cte() -> str:
 # hex nibble -> int (DuckDB has no hex-string cast; strpos over the
 # alphabet is exact and engine-portable)
 _NIBBLE = "strpos('0123456789abcdef', substr(md5(t), {i}, 1)) - 1"
+
+
+def _md5_bucket_sql(expr: str) -> str:
+    """First 4 md5 nibbles of ``expr`` -> [0, 65536) — the exact SQL twin
+    of sampling._hash_bucket."""
+    nib = (
+        "(strpos('0123456789abcdef',"
+        f" substr(md5(CAST({expr} AS VARCHAR)), {{i}}, 1)) - 1)"
+    )
+    return (
+        f"({nib.format(i=1)} * 4096 + {nib.format(i=2)} * 256"
+        f" + {nib.format(i=3)} * 16 + {nib.format(i=4)})"
+    )
+
+
+def _sampling_sql() -> dict[str, str]:
+    """Oracles for the dataset-assembly operators, generated from the SAME
+    rate/budget/shard constants the Spark queries use."""
+    bucket = _md5_bucket_sql("doc_id")
+    arms = " ".join(
+        f"WHEN lang = '{lang}' THEN {int(r * sampling.HASH_MOD)}"
+        for lang, r in sorted(sampling.SAMPLE_RATES.items())
+    )
+    default = int(sampling.DEFAULT_RATE * sampling.HASH_MOD)
+    sample = f"""
+SELECT doc_id, lang, CAST({bucket} AS BIGINT) AS bucket
+FROM documents
+WHERE {bucket} < (CASE {arms} ELSE {default} END)
+"""
+    packing = f"""
+WITH d AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+           CAST({bucket} % {sampling.PACK_SHARDS} AS BIGINT) AS shard
+    FROM documents
+),
+st AS (
+    SELECT *, sum(toks) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+    FROM d
+)
+SELECT lang, shard,
+       CAST(floor((cum - toks) / {sampling.PACK_BUDGET}) AS BIGINT) AS pack_id,
+       count(*) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS sum_tokens,
+       min(doc_id) AS first_doc
+FROM st
+GROUP BY lang, shard, pack_id
+"""
+    return {"pipe_stratified_sample": sample, "pipe_seq_packing": packing}
 
 _SIMHASH_SQL = f"""
 WITH toks AS (
@@ -1040,6 +1101,7 @@ FROM dd WHERE rn = 1
 def oracle_sql() -> dict[str, str]:
     return {
         **_transcript_oracle_sql(),
+        **_sampling_sql(),
         "kg_doc_mentions": "WITH "
         + _MENTIONS_CTE
         + "SELECT doc_id, term, n_occurrences, first_idx FROM mentions",
