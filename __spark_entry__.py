@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from kartograph_spark.datapipe import (
     dedup,
     multimodal,
+    quality,
     relational,
     sampling,
     similarity,
@@ -195,6 +196,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dataset assembly (training-data pipeline tail)
         "pipe_stratified_sample": sampling.stratified_sample,
         "pipe_seq_packing": sampling.seq_packing,
+        # corpus curation: repetition filters, composition, decontamination
+        "qual_repetition": quality.repetition_metrics,
+        "qual_source_rollup": quality.source_rollup,
+        "qual_decontaminate": quality.decontaminate,
         # dedup family
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_signatures": dedup.minhash_signatures,
@@ -503,6 +508,77 @@ FROM st
 GROUP BY lang, shard, pack_id
 """
     return {"pipe_stratified_sample": sample, "pipe_seq_packing": packing}
+
+
+def _quality_sql() -> dict[str, str]:
+    """Oracles for the corpus-curation operators, generated from the SAME
+    constants (NGRAM / EVAL_FRACTION / QUALITY_MIN_TOKENS) the Spark
+    queries use."""
+    repetition = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+tc AS (
+    SELECT doc_id, max(cnt) AS top_tok
+    FROM (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY doc_id, tok)
+    GROUP BY doc_id
+),
+bg AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS big
+    FROM d
+),
+bc AS (
+    SELECT doc_id, max(cnt) AS top_big
+    FROM (SELECT doc_id, big, count(*) AS cnt FROM bg GROUP BY doc_id, big)
+    GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       round(len(list_distinct(toks)) / len(toks), 4) AS distinct_ratio,
+       round(tc.top_tok / len(toks), 4) AS top_token_ratio,
+       CASE WHEN len(toks) > 1
+            THEN round(bc.top_big / (len(toks) - 1), 4)
+            ELSE 0.0 END AS top_bigram_ratio
+FROM d JOIN tc USING (doc_id) LEFT JOIN bc USING (doc_id)
+"""
+    rollup = f"""
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+       round(avg(n_chars), 2) AS avg_chars,
+       CAST(sum(CASE WHEN len(string_split(text, ' '))
+                          >= {quality.QUALITY_MIN_TOKENS}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+FROM documents GROUP BY source, lang
+"""
+    bucket = _md5_bucket_sql("doc_id")
+    thresh = int(quality.EVAL_FRACTION * sampling.HASH_MOD)
+    k = quality.NGRAM
+    gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(k))
+    decon = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+    SELECT doc_id, {bucket} AS bucket,
+           list_distinct(list_transform(generate_series(1, len(toks) - {k - 1}),
+                                        i -> {gram})) AS shingles
+    FROM d WHERE len(toks) >= {k}
+),
+ev AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE bucket < {thresh}),
+tr AS (
+    SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS s
+    FROM sh WHERE bucket >= {thresh}
+)
+SELECT doc_id, count(*) AS n_hits,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       round(count(*) / n_shingles, 4) AS hit_ratio
+FROM tr JOIN ev USING (s)
+GROUP BY doc_id, n_shingles
+"""
+    return {
+        "qual_repetition": repetition,
+        "qual_source_rollup": rollup,
+        "qual_decontaminate": decon,
+    }
 
 _SIMHASH_SQL = f"""
 WITH toks AS (
@@ -1102,6 +1178,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         **_transcript_oracle_sql(),
         **_sampling_sql(),
+        **_quality_sql(),
         "kg_doc_mentions": "WITH "
         + _MENTIONS_CTE
         + "SELECT doc_id, term, n_occurrences, first_idx FROM mentions",

@@ -1,0 +1,167 @@
+"""Corpus-quality operators: repetition metrics, source rollup,
+benchmark decontamination.
+
+Training-data curation beyond per-doc scoring (textstats.lang_quality):
+
+- ``repetition_metrics`` — the published repetition heuristics (duplicate
+  token / top-token / top-bigram fractions, the "Gopher rules" family)
+  as shuffle-free column expressions.
+- ``source_rollup`` — per-(source, lang) corpus composition, the
+  map-side-combinable aggregate a curation dashboard reads.
+- ``decontaminate`` — n-gram overlap between the training corpus and a
+  deterministic held-out slice (the eval-benchmark stand-in): any doc
+  sharing an ``NGRAM``-gram with the held-out slice is flagged, the
+  standard exact-substring decontamination pass.
+
+Scale posture:
+- repetition metrics are per-row array HOFs (whole-stage codegen, zero
+  shuffle).  Per-row cost is O(tokens * distinct); for book-length docs
+  swap in the explode + two-level groupBy twin — same outputs, one
+  shuffle — but for web-scale doc lengths (<= a few k tokens) the
+  shuffle-free form wins.
+- source_rollup is a single partial-aggregated shuffle on (source, lang)
+  — low cardinality, no skew concern.
+- decontamination broadcasts only the held-out slice's distinct n-gram
+  set (eval benchmarks are tiny vs the corpus); the corpus side stays a
+  map + broadcast-hash semi-join + per-doc count, never a corpus-corpus
+  join.  At 100 TB the corpus side still reads each doc once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kartograph_spark.datapipe.sampling import HASH_MOD, _hash_bucket
+from kartograph_spark.datapipe.textstats import docs
+
+#: n-gram order for the decontamination pass (5-grams: long enough that
+#: chance collisions are rare, short enough to catch partial copies)
+NGRAM = 5
+
+#: held-out fraction: docs whose md5 bucket falls below this fraction of
+#: HASH_MOD form the deterministic "benchmark" slice
+EVAL_FRACTION = 0.02
+
+#: minimum whitespace-token count for the rollup's quality counter
+QUALITY_MIN_TOKENS = 40
+
+
+def _toks() -> Column:
+    return F.split(F.col("text"), " ")
+
+
+def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition stats: distinct-token ratio, top-token fraction,
+    top-bigram fraction (rounded to 4 places, matching the oracle).
+
+    All computed inside one projection — array_distinct + nested
+    filter/transform HOFs — so the operator is a pure map with no
+    shuffle and survives any partitioning of the corpus.
+    """
+    toks = _toks()
+    n = F.size(toks)
+    top_tok = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda x: F.size(F.filter(toks, lambda t: t == x)),
+        )
+    )
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    top_big = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda x: F.size(F.filter(bigrams, lambda t: t == x)),
+        )
+    )
+    return docs(spark, sf_dir).select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / n, 4).alias("distinct_ratio"),
+        F.round(top_tok / n, 4).alias("top_token_ratio"),
+        F.when(n > 1, F.round(top_big / (n - 1), 4))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_ratio"),
+    )
+
+
+def source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition per (source, lang): doc count, token volume,
+    mean length, and how many docs clear the QUALITY_MIN_TOKENS bar.
+
+    One partial-aggregated shuffle on a low-cardinality key — the
+    map-side combine does nearly all the work at scale.
+    """
+    n = F.size(_toks())
+    return (
+        docs(spark, sf_dir)
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n.cast("long")).alias("sum_tokens"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.sum((n >= QUALITY_MIN_TOKENS).cast("long")).alias("n_quality"),
+        )
+        .select("source", "lang", "n_docs", "sum_tokens", "avg_chars", "n_quality")
+    )
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id, md5 bucket, distinct NGRAM-gram set (docs shorter than
+    NGRAM tokens have no n-grams and drop out, both engines)."""
+    toks = _toks()
+    # total expression under ANSI mode: the sequence bound is clamped and
+    # the lookups are try_element_at, so short docs (pruned by the filter
+    # below) never trip out-of-bounds during common-subexpression eval
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - NGRAM, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(toks, i + k + 1) for k in range(NGRAM)]
+        ),
+    )
+    return (
+        docs(spark, sf_dir)
+        .filter(F.size(toks) >= NGRAM)
+        .select(
+            "doc_id",
+            _hash_bucket(F.col("doc_id")).alias("bucket"),
+            F.array_distinct(grams).alias("shingles"),
+        )
+    )
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs sharing any NGRAM-gram with the held-out slice (md5 bucket
+    below EVAL_FRACTION of HASH_MOD), with the distinct-hit count.
+
+    The held-out side collapses to a distinct n-gram set and is
+    broadcast; the training side is exploded once and hash-joined
+    locally — the corpus is never shuffled and never self-joined.
+    """
+    sh = _shingled(spark, sf_dir)
+    thresh = int(EVAL_FRACTION * HASH_MOD)
+    eval_grams = (
+        sh.filter(F.col("bucket") < thresh)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    train = sh.filter(F.col("bucket") >= thresh).select(
+        "doc_id",
+        F.size("shingles").alias("n_shingles"),
+        F.explode("shingles").alias("s"),
+    )
+    return (
+        train.join(F.broadcast(eval_grams), "s")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            "doc_id",
+            "n_hits",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.round(F.col("n_hits") / F.col("n_shingles"), 4).alias("hit_ratio"),
+        )
+    )
