@@ -70,6 +70,9 @@ def main() -> None:
         "sim_knn_topk",
         "sim_ann_lsh",
         "text_lang_quality",
+        "qual_repetition",
+        "qual_decontaminate",
+        "pipe_seq_packing",
         "mm_media_features",
         "rel_pricing_summary",
         "rel_top_customers",
