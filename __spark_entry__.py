@@ -164,6 +164,36 @@ def _kg_entity_edges_xturn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree centrality over the constructed KG: per-entity in/out degree
+    on the uid (entity->entity) edges of the final pipeline triples — the
+    graph-shape summary a KG consumer reads first (hub detection, degree
+    distribution).  Melt-then-aggregate: one shuffle, map-side combinable,
+    no self-join."""
+    t = _kg_pipeline_triples(spark, sf_dir).filter(F.col("obj_is_ref"))
+    melted = t.select(
+        F.col("subj").alias("urn"), F.lit(1).alias("o"), F.lit(0).alias("i")
+    ).unionAll(t.select("obj", F.lit(0), F.lit(1)))
+    return melted.groupBy("urn").agg(
+        F.sum("o").alias("out_deg"), F.sum("i").alias("in_deg")
+    )
+
+
+def _kg_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity triangle participation over the constructed KG's
+    undirected uid edge set (graph-shape analytics beyond degree:
+    clique vs hub structure).  Degree-oriented wedge enumeration — see
+    components.triangle_counts for the skew analysis; the oracle
+    enumerates the same orientation-independent triangle set with a
+    plain id-ordered 3-way self-join."""
+    from kartograph_spark.components import triangle_counts
+
+    t = _kg_pipeline_triples(spark, sf_dir).filter(F.col("obj_is_ref"))
+    return triangle_counts(
+        t.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    ).select(F.col("node").alias("urn"), "n_triangles")
+
+
 def _kg_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components canonicalization over MinHash near-dup pairs
     (iterative large-star/small-star — not SQL-expressible)."""
@@ -207,6 +237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_simhash": dedup.simhash,
         "dedup_embedding_cosine": dedup.embedding_neardup,
+        "dedup_cluster_keep": dedup.cluster_keep,
         # similarity search
         "sim_cosine_neighbors": similarity.cosine_neighbors,
         "sim_knn_topk": similarity.knn_topk,
@@ -236,11 +267,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_event_rollup": relational.event_rollup,
         "rel_purchase_click_intersect": relational.purchase_click_overlap,
         "rel_order_priority_hist": relational.order_priority_histogram,
+        "rel_asof_join": relational.asof_latest_order,
         # transcript KG extraction (seeded corpus, read_parquet oracles)
         "kg_transcript_mentions": _kg_transcript_mentions,
         "kg_entity_edges": _kg_entity_edges,
         "kg_entity_edges_xturn": _kg_entity_edges_xturn,
         "kg_jsonld_conversion": _kg_jsonld_conversion,
+        "kg_degree_stats": _kg_degree_stats,
+        "kg_triangle_count": _kg_triangle_count,
         # iterative / pipeline
         "kg_connected_components": _kg_connected_components,
         "kg_pipeline_synthetic": _kg_pipeline_triples,
@@ -285,13 +319,13 @@ base AS (
     SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     WHERE len(string_split(text, ' ')) >= 3
 ),
-sh AS (
+sh AS MATERIALIZED (
     SELECT doc_id,
            list_transform(generate_series(1, len(toks) - 2),
                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
     FROM base
 ),
-sigs AS (
+sigs AS MATERIALIZED (
     SELECT doc_id,
            min(md5('a|' || s)) AS mh1,
            min(md5('b|' || s)) AS mh2,
@@ -303,7 +337,7 @@ sigs AS (
 """
 
 _COSINE_CTE = """
-e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
 """
 
 
@@ -320,7 +354,7 @@ melted AS (
            generate_subscripts([mh1, mh2, mh3, mh4], 1) AS band
     FROM sigs
 ),
-sized AS (
+sized AS MATERIALIZED (
     SELECT *, count(*) OVER (PARTITION BY band, mh) AS bsz,
            min(doc_id) OVER (PARTITION BY band, mh) AS bmin
     FROM melted
@@ -345,7 +379,7 @@ s AS (
            len(list_distinct(sh.shingles)) AS n, sigs.mh1
     FROM sh JOIN sigs ON sh.doc_id = sigs.doc_id
 ),
-ssz AS (
+ssz AS MATERIALIZED (
     SELECT *, count(*) OVER (PARTITION BY mh1) AS bsz,
            min(doc_id) OVER (PARTITION BY mh1) AS bmin
     FROM s
@@ -449,7 +483,7 @@ def _lsh_band_cte() -> str:
             "FROM e CROSS JOIN params pp"
         )
     return (
-        f"params AS (SELECT {planes_expr} AS planes), bb AS ("
+        f"params AS (SELECT {planes_expr} AS planes), bb AS MATERIALIZED ("
         + " UNION ALL ".join(selects)
         + ")"
     )
@@ -557,7 +591,7 @@ FROM documents GROUP BY source, lang
     gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(k))
     decon = f"""
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-sh AS (
+sh AS MATERIALIZED (
     SELECT doc_id, {bucket} AS bucket,
            list_distinct(list_transform(generate_series(1, len(toks) - {k - 1}),
                                         i -> {gram})) AS shingles
@@ -612,7 +646,7 @@ _CC_SQL = (
     + ", "
     + _lsh_pairs_cte()
     + """
-, edges AS (
+, edges AS MATERIALIZED (
     SELECT CAST(doc_a AS VARCHAR) AS u, CAST(doc_b AS VARCHAR) AS v FROM lshpairs
     UNION
     SELECT CAST(doc_b AS VARCHAR), CAST(doc_a AS VARCHAR) FROM lshpairs
@@ -625,6 +659,35 @@ reach AS (
 SELECT node AS member_urn, component AS canonical_urn FROM (
     SELECT node, min(r) AS component FROM reach GROUP BY node
 ) WHERE node <> component
+"""
+)
+
+# cluster resolution on top of the same closure: every document mapped to
+# its component representative (itself when unclustered), one output row
+# per KEPT doc with the cluster size — the dedup pipeline's ship stage.
+_CLUSTER_KEEP_SQL = (
+    "WITH RECURSIVE "
+    + _SHINGLES_CTE
+    + ", "
+    + _lsh_pairs_cte()
+    + """
+, edges AS MATERIALIZED (
+    SELECT CAST(doc_a AS VARCHAR) AS u, CAST(doc_b AS VARCHAR) AS v FROM lshpairs
+    UNION
+    SELECT CAST(doc_b AS VARCHAR), CAST(doc_a AS VARCHAR) FROM lshpairs
+),
+reach AS (
+    SELECT u AS node, u AS r FROM edges
+    UNION
+    SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+canon AS (
+    SELECT coalesce(c.component, CAST(d.doc_id AS VARCHAR)) AS canon
+    FROM documents d LEFT JOIN comp c ON c.node = CAST(d.doc_id AS VARCHAR)
+)
+SELECT CAST(canon AS BIGINT) AS doc_id, count(*) AS cluster_size
+FROM canon GROUP BY canon
 """
 )
 
@@ -649,7 +712,7 @@ def _jsonld_conversion_sql() -> str:
     return f"""
 WITH raw AS (SELECT content FROM read_text('{_JSONLD_FIXTURE}')),
 ents0 AS (SELECT unnest(json_extract(content::JSON, '$."@graph"[*]')) AS ent FROM raw),
-typed AS (
+typed AS MATERIALIZED (
     SELECT ent,
            json_extract_string(ent, '$."@id"') AS urn,
            json_extract_string(ent, '$.name') AS name,
@@ -791,7 +854,7 @@ tr AS (SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, text, tool, ts
 adict AS (SELECT * FROM read_parquet('{alias_path}')),
 
 -- combined interleaved scan: E1 urns + verb patterns with anchor ffill
-seq AS (
+seq AS MATERIALIZED (
     SELECT conv_id, turn_idx,
            unnest(regexp_extract_all(text, '{comb}', 0)) AS mtxt,
            generate_subscripts(regexp_extract_all(text, '{comb}', 0), 1) AS cpos
@@ -803,7 +866,7 @@ cls AS (
                 {' '.join(kind_arms)} END AS kind
     FROM seq
 ),
-anch AS (
+anch AS MATERIALIZED (
     SELECT *,
            last_value(CASE WHEN kind = 'urn'
                            THEN 'urn:' || regexp_extract(mtxt, '<urn:([^:]+):([^>]+)>', 1)
@@ -871,7 +934,7 @@ m_all AS (
     UNION ALL SELECT * FROM m_slack
 ),
 -- per-turn dedupe keep first by (kind_rank, match_idx)
-mded AS (
+mded AS MATERIALIZED (
     SELECT * FROM (
         SELECT *, row_number() OVER (
             PARTITION BY conv_id, turn_idx, coalesce(subj_urn, ''), pred, urn
@@ -919,7 +982,7 @@ tnorm AS (
     FROM tstem t JOIN canon c ON t.stem = c.stem
     WHERE t.entity_type <> c.canonical
 ),
-typed AS (
+typed AS MATERIALIZED (
     SELECT m.conv_id, m.turn_idx, m.kind, m.kind_rank, m.match_idx,
            CASE WHEN n.canonical_type IS NOT NULL
                 THEN 'urn:' || n.canonical_type || ':'
@@ -952,7 +1015,7 @@ same_name AS (
               FROM typed)
     ) WHERE urn <> min_urn
 ),
-pairs AS (SELECT src, dst FROM link_hits UNION SELECT src, dst FROM same_name),
+pairs AS MATERIALIZED (SELECT src, dst FROM link_hits UNION SELECT src, dst FROM same_name),
 
 -- connected components: transitive closure, preferred reps win then min
 edges AS (SELECT src AS u, dst AS v FROM pairs
@@ -963,7 +1026,7 @@ reach AS (
     SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node
 ),
 pref AS (SELECT DISTINCT canonical_urn AS urn FROM adict),
-cmap AS (
+cmap AS MATERIALIZED (
     SELECT node AS member_urn, canonical FROM (
         SELECT node,
                substr(min(CASE WHEN r IN (SELECT urn FROM pref)
@@ -984,7 +1047,7 @@ dmeta AS (
     SELECT canonical_urn AS urn, min(entity_type) AS dt, min(canonical_name) AS dn
     FROM adict GROUP BY canonical_urn
 ),
-mfinal AS (
+mfinal AS MATERIALIZED (
     SELECT r.conv_id, r.turn_idx, r.kind_rank, r.match_idx, r.urn,
            coalesce(d.dt, r.entity_type) AS entity_type,
            coalesce(d.dn, r.name) AS name, r.pred, r.subj_urn
@@ -1007,7 +1070,7 @@ t_mention AS (
     FROM mfinal
     WHERE NOT (regexp_matches({esc_name}, '[{{}}\\[\\]]') OR {esc_name} = 'None')
 ),
-cagg2 AS (
+cagg2 AS MATERIALIZED (
     SELECT conv_id, count(*) AS turn_count,
            CAST(min(turn_idx) AS BIGINT) AS first_turn,
            min(ts) AS min_ts, max(ts) AS max_ts,
@@ -1043,7 +1106,7 @@ t_conv AS (
 t_all AS (SELECT * FROM t_mention UNION ALL SELECT * FROM t_conv),
 
 -- first-occurrence dedup (A1/A2 + W1)
-t_ded AS (
+t_ded AS MATERIALIZED (
     SELECT subj, pred, obj, obj_is_ref, dtype, conv_id,
            CAST(turn_idx AS BIGINT) AS turn_idx
     FROM (
@@ -1113,7 +1176,7 @@ FROM d WHERE rn = 1
     def edges_sql(anchor_window: str) -> str:
         return f"""
 WITH {tr_cte},
-seq AS (
+seq AS MATERIALIZED (
     SELECT conv_id, turn_idx,
            unnest(regexp_extract_all(text, '{comb}', 0)) AS mtxt,
            generate_subscripts(regexp_extract_all(text, '{comb}', 0), 1) AS cpos
@@ -1125,7 +1188,7 @@ cls AS (
                 {' '.join(kind_arms)} END AS kind
     FROM seq
 ),
-anch AS (
+anch AS MATERIALIZED (
     SELECT *,
            last_value(CASE WHEN kind = 'urn'
                            THEN 'urn:' || regexp_extract(mtxt, '<urn:([^:]+):([^>]+)>', 1)
@@ -1171,6 +1234,36 @@ FROM dd WHERE rn = 1
             "PARTITION BY conv_id ORDER BY turn_idx, cpos"
         ),
         "kg_pipeline_synthetic": _pipeline_oracle_sql(path),
+        # MATERIALIZED below is load-bearing: DuckDB inlines CTEs by
+        # default, and these graph oracles reference the pipeline CTE
+        # several times — without it the whole pipeline SQL re-evaluates
+        # once per reference.
+        "kg_triangle_count": f"""
+WITH p AS MATERIALIZED ({_pipeline_oracle_sql(path)}),
+e0 AS (SELECT least(subj, obj) AS u, greatest(subj, obj) AS v
+       FROM p WHERE obj_is_ref AND subj <> obj),
+e AS MATERIALIZED (SELECT DISTINCT u, v FROM e0),
+tri AS MATERIALIZED (
+    SELECT a.u AS x, a.v AS y, b.v AS z
+    FROM e a JOIN e b ON b.u = a.v JOIN e c ON c.u = a.u AND c.v = b.v
+)
+SELECT node AS urn, count(*) AS n_triangles FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+) GROUP BY node
+""",
+        "kg_degree_stats": f"""
+WITH p AS MATERIALIZED ({_pipeline_oracle_sql(path)}),
+e AS (SELECT subj, obj FROM p WHERE obj_is_ref),
+m AS (
+    SELECT subj AS urn, 1 AS o, 0 AS i FROM e
+    UNION ALL
+    SELECT obj, 0, 1 FROM e
+)
+SELECT urn, CAST(sum(o) AS BIGINT) AS out_deg, CAST(sum(i) AS BIGINT) AS in_deg
+FROM m GROUP BY urn
+""",
     }
 
 
@@ -1428,4 +1521,20 @@ SELECT o_orderpriority, o_orderstatus, count(*) AS n,
 FROM orders WHERE o_orderstatus <> 'F'
 GROUP BY o_orderpriority, o_orderstatus
 """,
+        # DuckDB's native ASOF JOIN has no deterministic same-timestamp
+        # tie-break, so the oracle spells the identical semantics as
+        # inequality join + per-event top-1 (latest order, ties to max
+        # o_orderkey; at-or-before inclusive).
+        "rel_asof_join": """
+SELECT e.event_id, e.user_id, e.event_type, e.ts,
+       o.o_orderkey AS asof_orderkey,
+       o.o_orderdate AS asof_orderdate,
+       o.o_totalprice AS asof_totalprice
+FROM events e LEFT JOIN orders o
+  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+QUALIFY row_number() OVER (
+    PARTITION BY e.event_id
+    ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC) = 1
+""",
+        "dedup_cluster_keep": _CLUSTER_KEEP_SQL,
     }

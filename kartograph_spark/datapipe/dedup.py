@@ -221,6 +221,38 @@ def embedding_neardup(
     ).filter(F.col("cosine") >= threshold)
 
 
+def cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution — the dedup pipeline's FINAL stage
+    (what a curation run actually ships): one kept document per
+    near-duplicate cluster plus every singleton, with the cluster size.
+
+    LSH candidate pairs -> connected components (transitive closure:
+    A~B, B~C dedupes A with C even when A,C share no band) -> keep the
+    component-min doc per cluster (first-occurrence semantics,
+    urn_deduplicator.py:80-82 analog; min over the STRING id, matching
+    canonical_map's representative choice).  The doc->canonical map is
+    merged-members-only — vocabulary-sized, so the docs-side join
+    broadcasts under AQE; the only corpus-sized shuffle is the final
+    keep-count groupBy (map-side combinable).
+    """
+    from kartograph_spark.components import canonical_map
+
+    pairs = near_dup_pairs(spark, sf_dir).select(
+        F.col("doc_a").cast("string").alias("src"),
+        F.col("doc_b").cast("string").alias("dst"),
+    )
+    cmap = canonical_map(pairs)  # (member_urn, canonical_urn), merged only
+    d = docs(spark, sf_dir).select(F.col("doc_id").cast("string").alias("doc"))
+    canon = d.join(cmap, d.doc == cmap.member_urn, "left").select(
+        F.coalesce("canonical_urn", "doc").alias("canon")
+    )
+    return (
+        canon.groupBy("canon")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .select(F.col("canon").cast("long").alias("doc_id"), "cluster_size")
+    )
+
+
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document from md5-derived token bits.
 

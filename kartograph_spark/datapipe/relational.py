@@ -157,6 +157,71 @@ def purchase_click_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks.intersect(buys)
 
 
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the LATEST order by the same
+    customer at-or-before the event time (the time-series point-lookup
+    operator Spark has no native join type for; DuckDB spells it ASOF
+    JOIN).
+
+    Plan: union the two streams with a source tag and forward-fill the
+    last order over a (user_id)-keyed window ordered by
+    (ts, is_event, o_orderkey) — ONE shuffle on the key and a linear
+    sorted scan per user.  A naive inequality join is
+    O(events x orders-per-key) row amplification before its per-event
+    top-1 window; the union form never materializes non-winning
+    matches, so it survives a 100x scale-up (hot keys permitting —
+    per-user history fits a partition by construction).  Tie semantics
+    (deterministic, mirrored in the oracle): an order exactly at the
+    event ts matches (at-or-before, is_event sorts orders first);
+    same-ts orders resolve to the max o_orderkey (last in the sorted
+    frame).
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("is_event"),
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("string").alias("event_type"),
+    )
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        "event_id",
+        "event_type",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_event", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_order = F.last(
+        F.when(
+            F.col("is_event") == 0,
+            F.struct("ts", "o_orderkey", "o_totalprice"),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        o.unionByName(e)
+        .withColumn("lo", last_order)
+        .filter(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            F.col("lo.o_orderkey").alias("asof_orderkey"),
+            F.col("lo.ts").alias("asof_orderdate"),
+            F.col("lo.o_totalprice").alias("asof_totalprice"),
+        )
+    )
+
+
 def order_priority_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 shape: type histogram with a validation-style predicate."""
     o = _t(spark, sf_dir, "orders")

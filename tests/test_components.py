@@ -53,3 +53,29 @@ def test_distributed_path_matches_driver_path(spark):
     dist = connected_components(_pairs(spark, rows), max_driver_edges=0)
     drv = connected_components(_pairs(spark, rows))
     assert {tuple(r) for r in dist.collect()} == {tuple(r) for r in drv.collect()}
+
+
+def test_triangle_counts_k4_plus_star(spark):
+    from kartograph_spark.components import triangle_counts
+
+    # K4 on a,b,c,d: 4 triangles, each vertex in exactly 3.
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    # star hub h -> s1..s4: no triangles at all.
+    star = [("h", f"s{i}") for i in range(4)]
+    got = {
+        (r["node"], r["n_triangles"])
+        for r in triangle_counts(_pairs(spark, k4 + star)).collect()
+    }
+    assert got == {("a", 3), ("b", 3), ("c", 3), ("d", 3)}
+
+
+def test_triangle_counts_dedupes_and_ignores_direction(spark):
+    from kartograph_spark.components import triangle_counts
+
+    # same triangle given with duplicate and reversed edges counts once
+    rows = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "c")]
+    got = {
+        (r["node"], r["n_triangles"])
+        for r in triangle_counts(_pairs(spark, rows)).collect()
+    }
+    assert got == {("a", 1), ("b", 1), ("c", 1)}
