@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dataset assembly (training-data pipeline tail)
         "pipe_stratified_sample": sampling.stratified_sample,
         "pipe_seq_packing": sampling.seq_packing,
+        "pipe_domain_mix": sampling.domain_mix,
         # corpus curation: repetition filters, composition, decontamination
         "qual_repetition": quality.repetition_metrics,
         "qual_source_rollup": quality.source_rollup,
@@ -541,7 +542,30 @@ SELECT lang, shard,
 FROM st
 GROUP BY lang, shard, pack_id
 """
-    return {"pipe_stratified_sample": sample, "pipe_seq_packing": packing}
+    mix = f"""
+WITH d AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+    FROM documents
+),
+per AS (SELECT source, CAST(sum(toks) AS BIGINT) AS n_s FROM d GROUP BY source),
+tot AS (SELECT sum(sqrt(CAST(n_s AS DOUBLE))) AS s_sum, sum(n_s) AS t_tot FROM per),
+rates AS (
+    SELECT source,
+           round(least(1.0, {sampling.MIX_FRACTION} * t_tot
+                            * (sqrt(CAST(n_s AS DOUBLE)) / s_sum) / n_s),
+                 6) AS rate
+    FROM per, tot
+)
+SELECT d.doc_id, d.source
+FROM d JOIN rates ON d.source = rates.source
+WHERE CAST({bucket} AS DOUBLE) < rate * {float(sampling.HASH_MOD)}
+"""
+    return {
+        "pipe_stratified_sample": sample,
+        "pipe_seq_packing": packing,
+        "pipe_domain_mix": mix,
+    }
 
 
 def _quality_sql() -> dict[str, str]:

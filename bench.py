@@ -67,6 +67,7 @@ def main() -> None:
         "dedup_minhash_signatures",
         "dedup_neardup_lsh",
         "dedup_exact",
+        "dedup_cluster_keep",
         "sim_knn_topk",
         "sim_ann_lsh",
         "text_lang_quality",
@@ -77,6 +78,7 @@ def main() -> None:
         "rel_pricing_summary",
         "rel_top_customers",
         "rel_user_sessions",
+        "rel_asof_join",
     ]
     qs = entry_mod.queries()
     per_q: dict[str, float] = {}

@@ -72,7 +72,7 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
 
 
 def _union_find(edge_rows) -> dict[str, str]:
-    """Path-halving union-find over collected (u, v) rows; returns the
+    """Path-halving union-find over collected (u, v) pairs; returns the
     parent forest (callers run find() for full compression)."""
     parent: dict[str, str] = {}
 
@@ -83,8 +83,8 @@ def _union_find(edge_rows) -> dict[str, str]:
             x = parent[x]
         return x
 
-    for r in edge_rows:
-        ra, rb = find(r["u"]), find(r["v"])
+    for u, v in edge_rows:
+        ra, rb = find(u), find(v)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     return parent
@@ -99,9 +99,12 @@ def _uf_find(parent: dict[str, str], x: str) -> str:
 
 def _collect_if_small(pairs: DataFrame, cap: int):
     """Size-probe: count the pair set, collect it when it fits the driver
-    (None otherwise).  persist makes the count+collect pair one upstream
-    computation; NOT limit().collect() — Spark's incremental limit
-    escalation would re-run the upstream stages several times."""
+    (list of (u, v) tuples; None otherwise).  persist makes the
+    count+collect pair one upstream computation; NOT limit().collect() —
+    Spark's incremental limit escalation would re-run the upstream stages
+    several times.  The collect goes through Arrow (toPandas): row-object
+    materialization is the driver-side serial term the 4N-executor side
+    pays in full (Amdahl), and the Arrow path is ~5x cheaper per row."""
     edges = (
         pairs.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -110,7 +113,8 @@ def _collect_if_small(pairs: DataFrame, cap: int):
     try:
         if edges.count() > cap:
             return None
-        return edges.collect()
+        pdf = edges.toPandas()
+        return list(zip(pdf["u"], pdf["v"]))
     finally:
         edges.unpersist()
 
@@ -131,10 +135,17 @@ def connected_components(
     cap = DRIVER_UNION_FIND_MAX if max_driver_edges is None else max_driver_edges
     small = None if _assume_large else _collect_if_small(pairs, cap)
     if small is not None:
+        import pandas as pd
+
         parent = _union_find(small)
-        rows = [(m, _uf_find(parent, m)) for m in list(parent)]
+        pdf = pd.DataFrame(
+            {"member": list(parent)},
+        )
+        pdf["component"] = [_uf_find(parent, m) for m in pdf["member"]]
+        # Arrow-path createDataFrame: per-row pickling of a 10^5-row map
+        # is driver-serial time charged against the 4N side
         return pairs.sparkSession.createDataFrame(
-            rows, "member string, component string"
+            pdf, schema="member string, component string"
         )
 
     edges = (
@@ -244,6 +255,8 @@ def canonical_map(
     cap = DRIVER_UNION_FIND_MAX if max_driver_edges is None else max_driver_edges
     small = _collect_if_small(pairs, cap)
     if small is not None:
+        import pandas as pd
+
         spark = pairs.sparkSession
         if not small:
             return spark.createDataFrame(
@@ -263,8 +276,9 @@ def canonical_map(
         for members in comp.values():
             canon = min((m not in pref, m) for m in members)[1]
             out.extend((m, canon) for m in members if m != canon)
+        pdf = pd.DataFrame(out, columns=["member_urn", "canonical_urn"])
         return spark.createDataFrame(
-            out, "member_urn string, canonical_urn string"
+            pdf, schema="member_urn string, canonical_urn string"
         )
 
     labels = connected_components(

@@ -157,68 +157,97 @@ def purchase_click_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks.intersect(buys)
 
 
-def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: each event matched to the LATEST order by the same
-    customer at-or-before the event time (the time-series point-lookup
-    operator Spark has no native join type for; DuckDB spells it ASOF
-    JOIN).
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    time: str,
+    tiebreak: str,
+    carry: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Generic as-of join: every LEFT row gains the latest RIGHT row with
+    the same ``key`` and ``right.time <= left.time`` (the time-series
+    point-lookup join Spark has no native join type for; DuckDB spells it
+    ASOF JOIN).  Output = all left columns + ``prefix``-ed right columns
+    (``tiebreak``, ``time``, and each of ``carry``), NULL when no right
+    row precedes.
 
     Plan: union the two streams with a source tag and forward-fill the
-    last order over a (user_id)-keyed window ordered by
-    (ts, is_event, o_orderkey) — ONE shuffle on the key and a linear
-    sorted scan per user.  A naive inequality join is
-    O(events x orders-per-key) row amplification before its per-event
-    top-1 window; the union form never materializes non-winning
-    matches, so it survives a 100x scale-up (hot keys permitting —
-    per-user history fits a partition by construction).  Tie semantics
-    (deterministic, mirrored in the oracle): an order exactly at the
-    event ts matches (at-or-before, is_event sorts orders first);
-    same-ts orders resolve to the max o_orderkey (last in the sorted
-    frame).
+    last right row over a ``key``-partitioned window ordered by
+    (time, source, tiebreak) — ONE shuffle on the key and a linear sorted
+    scan per key.  A naive inequality join is O(left x right-per-key) row
+    amplification before its per-row top-1 window; the union form never
+    materializes non-winning matches, so it survives a 100x scale-up
+    (per-key history fits a partition by construction; a hot key is a
+    window-skew problem, not a join-explosion problem).  Tie semantics
+    (deterministic): a right row exactly at the left time matches
+    (at-or-before — the source tag sorts right rows first); same-time
+    right rows resolve to the max ``tiebreak`` (last in the sorted frame).
     """
-    o = _t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id"),
-        F.col("o_orderdate").alias("ts"),
-        F.lit(0).alias("is_event"),
-        "o_orderkey",
-        "o_totalprice",
-        F.lit(None).cast("long").alias("event_id"),
-        F.lit(None).cast("string").alias("event_type"),
+    lcols = [c for c in left.columns if c != key]
+    rcols = [tiebreak] + [c for c in carry if c != tiebreak]
+    schema_r = {f.name: f.dataType for f in right.schema.fields}
+    schema_l = {f.name: f.dataType for f in left.schema.fields}
+    r = right.select(
+        F.col(key),
+        F.col(time).alias("_t"),
+        F.lit(0).alias("_src"),
+        *[F.col(c) for c in rcols],
+        *[F.lit(None).cast(schema_l[c]).alias(c) for c in lcols],
     )
-    e = _t(spark, sf_dir, "events").select(
-        "user_id",
-        "ts",
-        F.lit(1).alias("is_event"),
-        F.lit(None).cast("long").alias("o_orderkey"),
-        F.lit(None).cast("double").alias("o_totalprice"),
-        "event_id",
-        "event_type",
+    lf = left.select(
+        F.col(key),
+        F.col(time).alias("_t"),
+        F.lit(1).alias("_src"),
+        *[F.lit(None).cast(schema_r[c]).alias(c) for c in rcols],
+        *lcols,
     )
     w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "is_event", "o_orderkey")
+        Window.partitionBy(key)
+        .orderBy("_t", "_src", tiebreak)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    last_order = F.last(
-        F.when(
-            F.col("is_event") == 0,
-            F.struct("ts", "o_orderkey", "o_totalprice"),
-        ),
+    last_right = F.last(
+        F.when(F.col("_src") == 0, F.struct(F.col("_t").alias(time), *rcols)),
         ignorenulls=True,
     ).over(w)
     return (
-        o.unionByName(e)
-        .withColumn("lo", last_order)
-        .filter(F.col("is_event") == 1)
+        r.unionByName(lf)
+        .withColumn("_lo", last_right)
+        .filter(F.col("_src") == 1)
         .select(
-            "event_id",
-            "user_id",
-            "event_type",
-            "ts",
-            F.col("lo.o_orderkey").alias("asof_orderkey"),
-            F.col("lo.ts").alias("asof_orderdate"),
-            F.col("lo.o_totalprice").alias("asof_totalprice"),
+            key,
+            *lcols,
+            *[F.col(f"_lo.{c}").alias(f"{prefix}{c}") for c in rcols + [time]],
         )
+    )
+
+
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join instance on the testdata tables: each event matched to
+    the LATEST order by the same customer at-or-before the event time —
+    see ``asof_join`` for the plan and tie semantics (mirrored exactly in
+    the DuckDB oracle)."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    j = asof_join(
+        e, o, key="user_id", time="ts", tiebreak="o_orderkey",
+        carry=["o_totalprice"],
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.col("asof_o_orderkey").alias("asof_orderkey"),
+        F.col("asof_ts").alias("asof_orderdate"),
+        F.col("asof_o_totalprice").alias("asof_totalprice"),
     )
 
 

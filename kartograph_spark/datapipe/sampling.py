@@ -72,6 +72,64 @@ def stratified_sample(
     )
 
 
+#: domain-mix defaults: overall token budget as a fraction of the corpus,
+#: re-balanced across sources by sqrt-temperature smoothing
+MIX_FRACTION = 0.25
+
+
+def domain_mix(
+    spark: SparkSession, sf_dir: str, fraction: float = MIX_FRACTION
+) -> DataFrame:
+    """Temperature-weighted source mixing — the corpus-assembly step that
+    re-balances domain shares before pretraining (multinomial smoothing:
+    target share of source s ∝ n_s^alpha, here alpha = 1/2 so small
+    sources are up-weighted relative to their raw share).
+
+    keep-rate(s) = min(1, fraction * T * w_s / n_s) with n_s = source
+    token count, T = total tokens, w_s = sqrt(n_s) / Σ sqrt(n_t); a doc
+    is kept iff its md5 bucket < rate * 65536 — the same deterministic
+    hash-keep as stratified_sample (idempotent re-runs, no RNG).
+
+    alpha = 1/2 is implemented as sqrt() because IEEE-754 requires sqrt
+    to be correctly rounded — pow(x, 0.7) may differ in the last ulp
+    across engines and flip a keep threshold; rates are additionally
+    rounded to 6 places in BOTH engines before the bucket comparison.
+
+    Scale: the per-source stats are a tiny map-side-combinable agg
+    (|sources| rows) broadcast back onto the corpus — the corpus itself
+    is scanned once and never shuffled.
+    """
+    d = docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("toks"),
+    )
+    per = d.groupBy("source").agg(F.sum("toks").alias("n_s"))
+    tot = per.agg(
+        F.sum(F.sqrt(F.col("n_s").cast("double"))).alias("s_sum"),
+        F.sum("n_s").alias("t_tot"),
+    )
+    rates = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(fraction)
+                * F.col("t_tot")
+                * (F.sqrt(F.col("n_s").cast("double")) / F.col("s_sum"))
+                / F.col("n_s"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    bucket = _hash_bucket(F.col("doc_id"))
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(bucket.cast("double") < F.col("rate") * F.lit(float(HASH_MOD)))
+        .select("doc_id", "source")
+    )
+
+
 def seq_packing(
     spark: SparkSession,
     sf_dir: str,
