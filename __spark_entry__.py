@@ -194,6 +194,36 @@ def _kg_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("node").alias("urn"), "n_triangles")
 
 
+def _kg_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity 2-hop neighborhood size over the KG's undirected uid
+    edge set: |{nodes reachable in <= 2 hops}|, excluding the node itself
+    — the locality measure behind "related entities" panels.  Exact
+    distinct count via self-join + union (two shuffles); at 100 TB swap
+    the exact count for approx_count_distinct (HyperLogLog) and cap hub
+    fan-out — the exact form is kept here because the oracle must match
+    bit-for-bit.  The one-hop frame is reused across both join sides
+    (single exchange)."""
+    t = _kg_pipeline_triples(spark, sf_dir).filter(F.col("obj_is_ref"))
+    sym = (
+        t.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+        .unionAll(t.select("obj", "subj"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    two = (
+        sym.alias("x")
+        .join(sym.alias("y"), F.col("x.b") == F.col("y.a"))
+        .select(F.col("x.a").alias("a"), F.col("y.b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    return (
+        sym.unionAll(two)
+        .groupBy("a")
+        .agg(F.count_distinct("b").alias("n_reach"))
+        .select(F.col("a").alias("urn"), "n_reach")
+    )
+
+
 def _kg_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components canonicalization over MinHash near-dup pairs
     (iterative large-star/small-star — not SQL-expressible)."""
@@ -276,6 +306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_jsonld_conversion": _kg_jsonld_conversion,
         "kg_degree_stats": _kg_degree_stats,
         "kg_triangle_count": _kg_triangle_count,
+        "kg_two_hop_reach": _kg_two_hop_reach,
         # iterative / pipeline
         "kg_connected_components": _kg_connected_components,
         "kg_pipeline_synthetic": _kg_pipeline_triples,
@@ -1276,6 +1307,18 @@ SELECT node AS urn, count(*) AS n_triangles FROM (
     UNION ALL SELECT y FROM tri
     UNION ALL SELECT z FROM tri
 ) GROUP BY node
+""",
+        "kg_two_hop_reach": f"""
+WITH p AS MATERIALIZED ({_pipeline_oracle_sql(path)}),
+e0 AS (SELECT subj AS a, obj AS b FROM p WHERE obj_is_ref
+       UNION ALL SELECT obj, subj FROM p WHERE obj_is_ref),
+sym AS MATERIALIZED (SELECT DISTINCT a, b FROM e0 WHERE a <> b),
+two AS (
+    SELECT x.a, y.b FROM sym x JOIN sym y ON x.b = y.a WHERE x.a <> y.b
+)
+SELECT a AS urn, CAST(count(DISTINCT b) AS BIGINT) AS n_reach
+FROM (SELECT a, b FROM sym UNION ALL SELECT a, b FROM two)
+GROUP BY a
 """,
         "kg_degree_stats": f"""
 WITH p AS MATERIALIZED ({_pipeline_oracle_sql(path)}),
