@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_purchase_click_intersect": relational.purchase_click_overlap,
         "rel_order_priority_hist": relational.order_priority_histogram,
         "rel_asof_join": relational.asof_latest_order,
+        "rel_range_join": relational.range_join_click_attribution,
         # transcript KG extraction (seeded corpus, read_parquet oracles)
         "kg_transcript_mentions": _kg_transcript_mentions,
         "kg_entity_edges": _kg_entity_edges,
@@ -1604,4 +1605,14 @@ QUALIFY row_number() OVER (
     ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC) = 1
 """,
         "dedup_cluster_keep": _CLUSTER_KEEP_SQL,
+        "rel_range_join": f"""
+SELECT p.event_id AS purchase_id, p.user_id,
+       count(*) AS n_clicks, round(sum(c.value), 2) AS sum_click_value
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL {relational.RANGE_WINDOW_S} SECOND
+ AND c.ts < p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+GROUP BY p.event_id, p.user_id
+""",
     }

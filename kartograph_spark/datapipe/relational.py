@@ -251,6 +251,56 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: range-join attribution window: clicks within this many seconds BEFORE
+#: a purchase count toward that purchase
+RANGE_WINDOW_S = 3600
+
+
+def range_join_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (interval containment): per purchase event, the count
+    and value sum of the same user's clicks inside [purchase - 1h,
+    purchase) — the attribution-window query family Spark has no native
+    join type for.
+
+    Scalable plan: bin both sides into window-width time buckets and
+    equi-join on (key, bucket).  A click strictly before the purchase but
+    within the window can only land in the purchase's bucket or the
+    previous one (bucket width == window length), so each purchase probes
+    exactly 2 buckets (explode of a 2-element array) and the exact
+    interval predicate refines the candidates.  The shuffle is keyed by
+    (user_id, bucket) — bounded fan-out, never the unbounded row
+    amplification of a raw inequality theta-join, and skewed hot users
+    split across time buckets.  Inner-join semantics: purchases with no
+    in-window click produce no row (mirrored in the oracle).
+    """
+    w_us = RANGE_WINDOW_S * 1_000_000
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", us.alias("p_us")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "value", us.alias("c_us"))
+        .withColumn("bucket", F.floor(F.col("c_us") / w_us))
+    )
+    probes = p.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.floor(F.col("p_us") / w_us) - 1, F.floor(F.col("p_us") / w_us)
+            )
+        ),
+    )
+    hits = probes.join(c, ["user_id", "bucket"]).filter(
+        (F.col("c_us") >= F.col("p_us") - w_us) & (F.col("c_us") < F.col("p_us"))
+    )
+    return hits.groupBy("purchase_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.round(F.sum("value"), 2).alias("sum_click_value"),
+    )
+
+
 def order_priority_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 shape: type histogram with a validation-style predicate."""
     o = _t(spark, sf_dir, "orders")
