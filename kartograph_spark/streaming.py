@@ -183,6 +183,65 @@ def stream_first_mentions(
     )
 
 
+#: documents-stream input contract (matches the testdata documents table
+#: plus an arrival timestamp for the watermark)
+DOCUMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def dedup_document_stream(docs: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup — the incremental form of ``dedup_exact``:
+    first arrival of each content fingerprint survives, duplicates within
+    the watermark horizon are dropped, and state EXPIRES past the horizon
+    (``dropDuplicatesWithinWatermark``) so the dedup map is bounded by the
+    event-time window, not the stream length — the contract a perpetual
+    ingestion pipeline needs (a plain dropDuplicates would hold one state
+    row per fingerprint forever).  The fingerprint is the same
+    order-insensitive token-set md5 the batch path uses
+    (textstats.fingerprints), so batch and streaming dedup agree on what
+    counts as a duplicate."""
+    fp = F.md5(
+        F.concat_ws(
+            " ", F.array_sort(F.array_distinct(F.split(F.col("text"), " ")))
+        )
+    )
+    return (
+        docs.withColumn("fp", fp)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+
+
+def stream_dedup_documents(
+    spark: SparkSession,
+    input_path: str,
+    checkpoint_path: str,
+    query_name: str = "dedup_docs",
+    watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Deduplicated document stream into a memory sink (append mode);
+    ``max_files_per_trigger`` slices the backlog so cross-micro-batch
+    dedup state is observable in tests."""
+    src = spark.readStream.schema(DOCUMENT_SCHEMA)
+    if max_files_per_trigger:
+        src = src.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        dedup_document_stream(src.parquet(input_path), watermark)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_mention_counts(
     spark: SparkSession,
     input_path: str,

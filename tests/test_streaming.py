@@ -111,3 +111,46 @@ def test_stateful_first_mentions(spark, tmp_path):
     b1_urns = set(extract_mentions(spark.createDataFrame(half)).toPandas()["urn"])
     from_b1 = got[got["urn"].isin(b1_urns)]
     assert (from_b1["conv_id"] < "conv-000015").all()
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: cross-micro-batch duplicate
+    fingerprints are dropped while inside the watermark horizon; distinct
+    contents all survive; batch and streaming agree on the fingerprint."""
+    import datetime as dt
+
+    from kartograph_spark.streaming import stream_dedup_documents
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    mk = lambda rows: pd.DataFrame(
+        rows, columns=["doc_id", "text", "ts"]
+    ).astype({"doc_id": "int64", "ts": "datetime64[us]"})
+    # batch 1: two distinct docs (b == a token-set after reorder -> dup!)
+    b1 = mk([
+        (1, "alpha beta gamma", t0),
+        (2, "gamma beta alpha", t0),          # same token set as doc 1
+        (3, "delta epsilon", t0),
+    ])
+    # batch 2 (minutes later, inside the 1h watermark): dup of doc 1 and
+    # one genuinely new doc
+    b2 = mk([
+        (4, "alpha beta gamma", t0 + dt.timedelta(minutes=5)),
+        (5, "zeta eta theta", t0 + dt.timedelta(minutes=5)),
+    ])
+    in_dir = str(tmp_path / "docs")
+    _write_slice(b1, f"{in_dir}/part-0.parquet")
+    _write_slice(b2, f"{in_dir}/part-1.parquet")
+
+    q = stream_dedup_documents(
+        spark, in_dir, str(tmp_path / "ck_dd"), query_name="dd_test",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM dd_test").toPandas()
+
+    # three distinct token-set fingerprints -> exactly three survivors
+    assert len(got) == 3
+    assert got["fp"].is_unique
+    # the duplicate arrivals (2: same-batch reorder, 4: next batch) lost
+    assert set(got["doc_id"]) & {2, 4} == set()
+    assert {1, 3, 5} == set(got["doc_id"])
