@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_order_priority_hist": relational.order_priority_histogram,
         "rel_asof_join": relational.asof_latest_order,
         "rel_range_join": relational.range_join_click_attribution,
+        "rel_value_quantiles": relational.value_quantiles,
         # transcript KG extraction (seeded corpus, read_parquet oracles)
         "kg_transcript_mentions": _kg_transcript_mentions,
         "kg_entity_edges": _kg_entity_edges,
@@ -1605,6 +1606,22 @@ QUALIFY row_number() OVER (
     ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC) = 1
 """,
         "dedup_cluster_keep": _CLUSTER_KEEP_SQL,
+        "rel_value_quantiles": f"""
+WITH r AS (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       {", ".join(
+           f"max(CASE WHEN rn = CAST(ceil({q} * n) AS BIGINT) THEN value END)"
+           f" AS p{int(q * 100)}"
+           for q in relational.QUANTILES
+       )}
+FROM r GROUP BY event_type
+""",
         "rel_range_join": f"""
 SELECT p.event_id AS purchase_id, p.user_id,
        count(*) AS n_clicks, round(sum(c.value), 2) AS sum_click_value

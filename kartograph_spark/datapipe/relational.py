@@ -301,6 +301,39 @@ def range_join_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: quantile levels for the per-type value distribution summary
+QUANTILES = (0.5, 0.9, 0.99)
+
+
+def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value quantiles by EXACT rank pick: the value at
+    row ceil(q * n) under a deterministic (value, event_id) total order —
+    discrete quantiles, zero floating-point interpolation, so both
+    engines select the identical element (percentile_cont-style
+    interpolation is engine-order-sensitive FP arithmetic; rank-pick is
+    not).  One shuffle for the per-type sort window; at 100 TB swap in
+    approx_percentile (t-digest) — the exact form is the oracle-checkable
+    contract.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+        )
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col("value")
+            )
+        ).alias(f"p{int(q * 100)}")
+        for q in QUANTILES
+    ]
+    return ranked.groupBy("event_type").agg(F.max("n").alias("n"), *aggs)
+
+
 def order_priority_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 shape: type histogram with a validation-style predicate."""
     o = _t(spark, sf_dir, "orders")
