@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_stratified_sample": sampling.stratified_sample,
         "pipe_seq_packing": sampling.seq_packing,
         "pipe_domain_mix": sampling.domain_mix,
+        "pipe_train_split": sampling.train_split,
         # corpus curation: repetition filters, composition, decontamination
         "qual_repetition": quality.repetition_metrics,
         "qual_source_rollup": quality.source_rollup,
@@ -594,10 +595,20 @@ SELECT d.doc_id, d.source
 FROM d JOIN rates ON d.source = rates.source
 WHERE CAST({bucket} AS DOUBLE) < rate * {float(sampling.HASH_MOD)}
 """
+    split_arms = " ".join(
+        f"WHEN {bucket} < {int(hi * sampling.HASH_MOD)} THEN '{name}'"
+        for name, hi in sampling.SPLIT_BOUNDS
+    )
+    split = f"""
+SELECT doc_id, CASE {split_arms} END AS split,
+       CAST({bucket} AS BIGINT) AS bucket
+FROM documents
+"""
     return {
         "pipe_stratified_sample": sample,
         "pipe_seq_packing": packing,
         "pipe_domain_mix": mix,
+        "pipe_train_split": split,
     }
 
 

@@ -72,6 +72,27 @@ def stratified_sample(
     )
 
 
+#: train/val/test split boundaries as fractions of the hash space
+SPLIT_BOUNDS = (("train", 0.90), ("val", 0.95), ("test", 1.0))
+
+
+def train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: the doc's md5 bucket
+    against fixed hash-space boundaries (90/5/5).  Pure column predicate —
+    no RNG, no shuffle, stable under repartitioning and incremental
+    appends (a doc's split never changes as the corpus grows — the
+    property random splits lose and hash splits are used for in
+    production).  Output one row per doc with its split label.
+    """
+    bucket = _hash_bucket(F.col("doc_id"))
+    label = F.lit(SPLIT_BOUNDS[-1][0])
+    for name, hi in reversed(SPLIT_BOUNDS):
+        label = F.when(bucket < int(hi * HASH_MOD), F.lit(name)).otherwise(label)
+    return docs(spark, sf_dir).select(
+        "doc_id", label.alias("split"), bucket.alias("bucket")
+    )
+
+
 #: domain-mix defaults: overall token budget as a fraction of the corpus,
 #: re-balanced across sources by sqrt-temperature smoothing
 MIX_FRACTION = 0.25
