@@ -275,6 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_topk": similarity.knn_topk,
         "sim_ann_lsh": similarity.ann_lsh,
         "sim_ann_ivf": similarity.ann_ivf,
+        "sim_quantize_int8": similarity.quantize_int8,
         # multimodal plumbing
         "mm_media_features": multimodal.media_features,
         "mm_resize_meta": lambda spark, sf: multimodal.resize_media(
@@ -1407,6 +1408,20 @@ FROM fp GROUP BY fp HAVING count(*) > 1
         + "SELECT doc_id, mh1, mh2, mh3, mh4 FROM sigs",
         "dedup_simhash": _SIMHASH_SQL,
         "kg_jsonld_conversion": _jsonld_conversion_sql(),
+        "sim_quantize_int8": """
+WITH ex AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1 AS dim,
+           unnest(embedding::DOUBLE[]) AS x
+    FROM embeddings
+),
+st AS MATERIALIZED (SELECT dim, min(x) AS mn, max(x) AS mx FROM ex GROUP BY dim)
+SELECT vec_id, CAST(ex.dim AS BIGINT) AS dim,
+       CAST(CASE WHEN mx > mn
+                 THEN round((x - mn) * 255.0 / (mx - mn), 0)
+                 ELSE 0 END AS BIGINT) AS code
+FROM ex JOIN st ON ex.dim = st.dim
+""",
         "kg_connected_components": _CC_SQL,
         "sim_ann_ivf": _IVF_SQL,
         "dedup_neardup_lsh": "WITH "

@@ -361,3 +361,35 @@ def ann_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), F.round("sim", 4).alias("cosine"))
     )
+
+
+def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding corpus: per-dimension
+    min/max over the corpus -> code = round((x - min_d) * 255 / range_d)
+    — the memory-compression step in front of a 100 TB ANN index (4x
+    smaller vectors, distance computation on codes).  Constant dimensions
+    (range 0) code to 0.
+
+    Plan: the per-dimension stats are a 64-row aggregate broadcast back
+    onto the exploded corpus — one tiny shuffle, then a pure map.  Output
+    is exploded (vec_id, dim, code) rows (primitive columns only, so the
+    driver's value hash is well-defined); a production sink would
+    re-collect codes per vector with collect_list ordered by dim.
+    FP note: both engines evaluate the identical (x - mn) * 255 / (mx -
+    mn) op sequence on the same float64 inputs, and round() half-up
+    agrees across engines for non-negative values, so codes match
+    bit-for-bit.
+    """
+    ex = embeddings(spark, sf_dir).select(
+        "vec_id", F.posexplode("emb").alias("dim", "x")
+    )
+    stats = ex.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    code = F.when(
+        F.col("mx") > F.col("mn"),
+        F.round((F.col("x") - F.col("mn")) * 255.0 / (F.col("mx") - F.col("mn")), 0),
+    ).otherwise(F.lit(0.0))
+    return ex.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        code.cast("long").alias("code"),
+    )
