@@ -224,6 +224,19 @@ def _kg_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rel_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessionization (one row per user session
+    with span + event count) — the same gap semantics as
+    rel_user_sessions' lag formulation, expressed through Spark's
+    built-in session-window operator (streaming-capable plan); the
+    oracle rebuilds the sessions with the classic gaps-and-islands SQL."""
+    from kartograph_spark.streaming import session_window_counts
+
+    return session_window_counts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
 def _kg_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components canonicalization over MinHash near-dup pairs
     (iterative large-star/small-star — not SQL-expressible)."""
@@ -303,6 +316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_asof_join": relational.asof_latest_order,
         "rel_range_join": relational.range_join_click_attribution,
         "rel_value_quantiles": relational.value_quantiles,
+        "rel_session_windows": _rel_session_windows,
         # transcript KG extraction (seeded corpus, read_parquet oracles)
         "kg_transcript_mentions": _kg_transcript_mentions,
         "kg_entity_edges": _kg_entity_edges,
@@ -1632,6 +1646,25 @@ QUALIFY row_number() OVER (
     ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC) = 1
 """,
         "dedup_cluster_keep": _CLUSTER_KEEP_SQL,
+        "rel_session_windows": """
+WITH s AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+    SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM s
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM g GROUP BY user_id, sid
+""",
         "rel_value_quantiles": f"""
 WITH r AS (
     SELECT event_type, value,

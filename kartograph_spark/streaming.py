@@ -242,6 +242,28 @@ def stream_dedup_documents(
     )
 
 
+def session_window_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based session aggregation via Spark's native ``session_window``
+    — one row per (user, session) with the session span and event count.
+    Works identically on batch and streaming frames (with a watermark in
+    streaming, state closes ``gap`` after the last event).  This is the
+    same session semantics as the batch lag-window formulation
+    (datapipe.relational.user_sessions): tested to produce identical
+    per-user session counts — two independent plans, one contract."""
+    return (
+        events.groupBy(
+            F.session_window("ts", gap).alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def stream_mention_counts(
     spark: SparkSession,
     input_path: str,

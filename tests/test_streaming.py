@@ -154,3 +154,27 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     # the duplicate arrivals (2: same-batch reorder, 4: next batch) lost
     assert set(got["doc_id"]) & {2, 4} == set()
     assert {1, 3, 5} == set(got["doc_id"])
+
+
+def test_session_window_agrees_with_lag_formulation(spark):
+    """session_window (native) and the lag-gap window (user_sessions) are
+    independent plans for the same session semantics — per-user session
+    counts and total event counts must agree on the shared testdata."""
+    from pyspark.sql import functions as F
+
+    from kartograph_spark.datapipe.relational import user_sessions
+    from kartograph_spark.streaming import session_window_counts
+
+    sf = "/root/testdata/sf0.01"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    sw = (
+        session_window_counts(ev, gap="30 minutes")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    got = {r["user_id"]: r["n_sessions"] for r in sw.collect()}
+    exp = {
+        r["user_id"]: r["n_sessions"]
+        for r in user_sessions(spark, sf).collect()
+    }
+    assert got == exp
