@@ -340,22 +340,123 @@ def jsonld_property_triples(ents: DataFrame) -> DataFrame:
     return out
 
 
-def validate_jsonld_entities(ents: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """load_dgraph.py:59-84: every entity must carry @id, @type and name.
-    Returns (valid entities, error rows in the validation_errors shape)."""
-    ok = (
-        F.col("urn").isNotNull()
-        & F.col("type").isNotNull()
-        & F.col("name").isNotNull()
+def validate_jsonld_entities(
+    ents: DataFrame,
+    required_fields: tuple[str, ...] = ("@id", "@type", "name"),
+    allow_missing_name: bool = False,
+    strict_urn_format: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """EntityValidator transcription (entity_validator.py:89-276; defaults
+    config.py:138-156): required fields, URN format, type-name format —
+    each violated rule emits its own error row (an entity can carry
+    several), with the reference's exact messages and severities.
+
+    - required fields: missing -> error "Missing required field: {f}";
+      missing ``name`` under ``allow_missing_name`` -> WARNING
+      "Missing optional field: name" (entity_validator.py:118-152).
+    - URN format (only when @id present): strict -> both the
+      "must start with 'urn:'" and the "at least 3 parts" checks can fire
+      (:154-202); non-strict -> a warning when it has a colon but no
+      ``urn:`` prefix.
+    - type name (per @type item): non-empty, leading capital,
+      alphanumeric-or-underscore (:205-277).
+
+    Returns (valid, errors): valid = entities with ZERO error-severity
+    rows — warning-only entities pass through, mirroring the reference
+    default ``fail_on_validation_errors=False`` gate.
+    """
+    eid = F.coalesce(F.col("urn"), F.lit("unknown"))
+    lit = F.lit
+
+    def err(cond, field: str, message: str, severity: str = "error"):
+        return F.when(
+            cond,
+            F.struct(
+                eid.alias("entity_id"),
+                lit(field).alias("field"),
+                lit(None).cast("string").alias("target_urn"),
+                lit(message).alias("message"),
+                lit(severity).alias("severity"),
+            ),
+        )
+
+    def present(f: str):
+        if f == "@id":
+            return F.col("urn").isNotNull()
+        if f == "@type":
+            return F.col("types").isNotNull()
+        if f == "name":
+            return F.col("name").isNotNull()
+        return F.expr(f"""try_variant_get(ent, '$["{f}"]')""").isNotNull()
+
+    checks = []
+    for f in required_fields:
+        if f == "name" and allow_missing_name:
+            checks.append(
+                err(~present(f), f, f"Missing optional field: {f}", "warning")
+            )
+        else:
+            checks.append(err(~present(f), f, f"Missing required field: {f}"))
+
+    urn_present = F.col("urn").isNotNull()
+    if strict_urn_format:
+        checks.append(
+            err(
+                urn_present & ~F.col("urn").startswith("urn:"),
+                "@id",
+                "URN must start with 'urn:'",
+            )
+        )
+        checks.append(
+            err(
+                urn_present & (F.size(F.split("urn", ":")) < 3),
+                "@id",
+                "URN must have format 'urn:type:identifier' (at least 3 parts)",
+            )
+        )
+    else:
+        checks.append(
+            err(
+                urn_present
+                & ~F.col("urn").startswith("urn:")
+                & F.col("urn").contains(":"),
+                "@id",
+                "URN should preferably start with 'urn:'",
+                "warning",
+            )
+        )
+
+    types_present = F.col("types").isNotNull()
+    any_t = lambda cond: types_present & F.exists("types", cond)  # noqa: E731
+    checks.append(
+        err(any_t(lambda t: t == ""), "@type", "Type name cannot be empty")
     )
-    bad = ents.filter(~ok).select(
-        F.coalesce(F.col("urn"), F.lit("<missing @id>")).alias("entity_id"),
-        F.lit("required").alias("field"),
-        F.lit(None).cast("string").alias("target_urn"),
-        F.lit("entity missing required @id/@type/name").alias("message"),
-        F.lit("error").alias("severity"),
+    checks.append(
+        err(
+            any_t(lambda t: (t != "") & ~t.rlike("^[A-Z]")),
+            "@type",
+            "Type name must start with capital letter",
+        )
     )
-    return ents.filter(ok), bad
+    checks.append(
+        err(
+            any_t(
+                lambda t: (t != "")
+                & (
+                    ~t.rlike("^[A-Za-z0-9_]+$")
+                    | (F.regexp_replace(t, "_", "") == "")
+                )
+            ),
+            "@type",
+            "Type name must be alphanumeric (or contain underscores)",
+        )
+    )
+
+    staged = ents.withColumn("_errs", F.array_compact(F.array(*checks)))
+    bad = staged.select(F.explode("_errs").alias("e")).select("e.*")
+    has_error = F.exists("_errs", lambda e: e["severity"] == lit("error"))
+    valid = staged.filter(~has_error).drop("_errs")
+    return valid, bad
 
 
 def jsonld_to_triples(vents: DataFrame) -> DataFrame:
