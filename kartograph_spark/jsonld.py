@@ -459,6 +459,91 @@ def validate_jsonld_entities(
     return valid, bad
 
 
+def extract_urn_refs(ents: DataFrame) -> DataFrame:
+    """(urn, ref) pairs: every ``urn:``-prefixed string value anywhere in
+    each entity's JSON (reference dicts, list items, plain strings —
+    extract_urn_references, entity_validator.py:10-39), self-references
+    discarded.  JVM-side: regexp over the canonical JSON text.  (A key
+    named ``urn:...`` would also match, which the reference's value-only
+    walk ignores — no reference fixture or output ever has such keys.)"""
+    return (
+        ents.filter(F.col("urn").isNotNull())
+        .select(
+            "urn",
+            F.explode(
+                F.array_distinct(
+                    F.regexp_extract_all(
+                        F.expr("to_json(ent)"), F.lit('"(urn:[^"]*)"'), F.lit(1)
+                    )
+                )
+            ).alias("ref"),
+        )
+        .filter(F.col("ref") != F.col("urn"))
+    )
+
+
+def validate_jsonld_graph(
+    ents: DataFrame,
+    detect_orphans: bool = True,
+    detect_broken_refs: bool = True,
+) -> DataFrame:
+    """Graph-level validation (validate_graph,
+    entity_validator.py:259-369): orphaned entities (no outgoing
+    references that resolve inside the graph -> warning) and broken
+    references (referenced URNs absent from the graph -> one error per
+    missing target), with the reference's exact messages/severities.
+
+    Plan: one refs explode + one keyed join against the entity-id set —
+    at corpus scale both sides are entity-table-sized, so this is a
+    single vocabulary shuffle, never a corpus scan per entity."""
+    refs = extract_urn_refs(ents)
+    ids = ents.filter(F.col("urn").isNotNull()).select(
+        F.col("urn").alias("ref")
+    ).distinct()
+    marked = refs.join(
+        ids.withColumn("_exists", F.lit(1)), "ref", "left"
+    )
+    lit = F.lit
+    parts = []
+    if detect_broken_refs:
+        parts.append(
+            marked.filter(F.col("_exists").isNull()).select(
+                F.col("urn").alias("entity_id"),
+                lit("reference").alias("field"),
+                F.col("ref").alias("target_urn"),
+                F.concat(
+                    lit("References non-existent entity: "), F.col("ref")
+                ).alias("message"),
+                lit("error").alias("severity"),
+            )
+        )
+    if detect_orphans:
+        linked = marked.filter(F.col("_exists").isNotNull()).select("urn").distinct()
+        parts.append(
+            ents.filter(F.col("urn").isNotNull())
+            .join(linked, "urn", "left_anti")
+            .select(
+                F.col("urn").alias("entity_id"),
+                lit("relationships").alias("field"),
+                lit(None).cast("string").alias("target_urn"),
+                lit(
+                    "Entity has no relationships to other entities (orphaned)"
+                ).alias("message"),
+                lit("warning").alias("severity"),
+            )
+        )
+    if not parts:
+        return ents.sparkSession.createDataFrame(
+            [],
+            "entity_id string, field string, target_urn string, "
+            "message string, severity string",
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def jsonld_to_triples(vents: DataFrame) -> DataFrame:
     """The reference's JSON-LD -> N-Quads conversion, transcribed from
     ``convert_to_nquads`` (load_dgraph.py:272-349) over the VARIANT

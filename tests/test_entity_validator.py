@@ -125,3 +125,59 @@ def test_custom_required_fields(spark, tmp_path):
         spark, tmp_path, [d2],
         required_fields=("@id", "@type", "name", "owner"),
     ) == []
+
+
+def test_extract_urn_references(spark, tmp_path):
+    # test_enhanced_validation.py:14-32: nested dicts, arrays, plain strings
+    from kartograph_spark.jsonld import extract_urn_refs
+
+    d = {
+        "@id": "urn:Service:api-1",
+        "@type": "Service",
+        "name": "API",
+        "owner": {"@id": "urn:User:alice"},
+        "dependsOn": {"@id": "urn:Service:db"},
+        "tags": ["tag1", "urn:Tag:important"],
+        "refs": [{"@id": "urn:Other:ref"}],
+    }
+    got = {r["ref"] for r in extract_urn_refs(_ents(spark, tmp_path, [d])).collect()}
+    assert {
+        "urn:User:alice", "urn:Service:db", "urn:Tag:important", "urn:Other:ref",
+    } == got  # self-reference discarded
+
+
+def test_detect_orphaned_entities(spark, tmp_path):
+    # test_enhanced_validation.py:35-70: orphan has no refs, db has no
+    # OUTGOING refs -> both flagged; connected is fine
+    from kartograph_spark.jsonld import validate_jsonld_graph
+
+    ents = _ents(spark, tmp_path, [
+        {"@id": "urn:Service:orphan", "@type": "Service", "name": "Orphan Service"},
+        {"@id": "urn:Service:connected", "@type": "Service", "name": "Connected",
+         "dependsOn": {"@id": "urn:Service:db"}},
+        {"@id": "urn:Service:db", "@type": "Service", "name": "Database"},
+    ])
+    errors = validate_jsonld_graph(ents).collect()
+    orphan_errors = [e for e in errors if "orphaned" in e["message"].lower()]
+    assert len(orphan_errors) == 2
+    assert {e["entity_id"] for e in orphan_errors} == {
+        "urn:Service:orphan", "urn:Service:db",
+    }
+    assert all(e["severity"] == "warning" for e in orphan_errors)
+
+
+def test_detect_broken_references(spark, tmp_path):
+    # test_enhanced_validation.py:73-97
+    from kartograph_spark.jsonld import validate_jsonld_graph
+
+    ents = _ents(spark, tmp_path, [
+        {"@id": "urn:Service:broken", "@type": "Service", "name": "Broken",
+         "owner": {"@id": "urn:User:nonexistent"},
+         "dependsOn": {"@id": "urn:Service:missing"}},
+    ])
+    errors = validate_jsonld_graph(ents, detect_orphans=False).collect()
+    broken = [e for e in errors if "non-existent" in e["message"].lower()]
+    assert len(broken) == 2
+    assert any("urn:User:nonexistent" in e["message"] for e in broken)
+    assert any("urn:Service:missing" in e["message"] for e in broken)
+    assert all(e["severity"] == "error" for e in broken)
