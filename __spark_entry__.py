@@ -134,6 +134,18 @@ def _kg_jsonld_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jsonld.jsonld_to_triples(valid)
 
 
+def _kg_jsonld_graph_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-level validation over the committed reference-shaped JSON-LD
+    fixture: orphaned entities (warning) + broken references (error),
+    validate_graph semantics (entity_validator.py:259-369).  The oracle
+    replays the identical urn-string extraction regexp over DuckDB's JSON
+    text of each entity."""
+    from kartograph_spark import jsonld
+
+    vents = jsonld.load_jsonld_entities(spark, _JSONLD_FIXTURE)
+    return jsonld.validate_jsonld_graph(vents)
+
+
 def _kg_entity_edges_xturn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-turn variant of kg_entity_edges: the applyInPandas grouped
     extraction carries the last E1 anchor FORWARD ACROSS TURNS of the
@@ -322,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_edges": _kg_entity_edges,
         "kg_entity_edges_xturn": _kg_entity_edges_xturn,
         "kg_jsonld_conversion": _kg_jsonld_conversion,
+        "kg_jsonld_graph_validation": _kg_jsonld_graph_validation,
         "kg_degree_stats": _kg_degree_stats,
         "kg_triangle_count": _kg_triangle_count,
         "kg_two_hop_reach": _kg_two_hop_reach,
@@ -1422,6 +1435,36 @@ FROM fp GROUP BY fp HAVING count(*) > 1
         + "SELECT doc_id, mh1, mh2, mh3, mh4 FROM sigs",
         "dedup_simhash": _SIMHASH_SQL,
         "kg_jsonld_conversion": _jsonld_conversion_sql(),
+        "kg_jsonld_graph_validation": f"""
+WITH raw AS (SELECT content FROM read_text('{_JSONLD_FIXTURE}')),
+ents AS (SELECT unnest(json_extract(content::JSON, '$."@graph"[*]')) AS ent FROM raw),
+e2 AS MATERIALIZED (
+    SELECT json_extract_string(ent, '$."@id"') AS urn,
+           CAST(ent AS VARCHAR) AS js
+    FROM ents WHERE json_extract_string(ent, '$."@id"') IS NOT NULL
+),
+refs AS (
+    SELECT urn, unnest(list_distinct(
+               regexp_extract_all(js, '"(urn:[^"]*)"', 1))) AS ref
+    FROM e2
+),
+marked AS MATERIALIZED (
+    SELECT r.urn, r.ref, i.ref IS NOT NULL AS ex
+    FROM (SELECT * FROM refs WHERE ref <> urn) r
+    LEFT JOIN (SELECT DISTINCT urn AS ref FROM e2) i ON r.ref = i.ref
+)
+SELECT urn AS entity_id, 'reference' AS field, ref AS target_urn,
+       'References non-existent entity: ' || ref AS message,
+       'error' AS severity
+FROM marked WHERE NOT ex
+UNION ALL
+SELECT e2.urn, 'relationships', CAST(NULL AS VARCHAR),
+       'Entity has no relationships to other entities (orphaned)',
+       'warning'
+FROM e2 LEFT JOIN (SELECT DISTINCT urn FROM marked WHERE ex) l
+  ON e2.urn = l.urn
+WHERE l.urn IS NULL
+""",
         "sim_quantize_int8": """
 WITH ex AS (
     SELECT vec_id,
