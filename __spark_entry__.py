@@ -134,6 +134,17 @@ def _kg_jsonld_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jsonld.jsonld_to_triples(valid)
 
 
+def _kg_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking over the transcript corpus (emails / IPv4 / phone-
+    shaped runs -> typed placeholders, per-turn match counts + redacted-
+    text md5).  sf_dir unused — the seeded corpus is the input contract
+    (its turns actually contain emails)."""
+    from kartograph_spark.datapipe import quality
+
+    d = _synth_corpus()
+    return quality.pii_scrub(spark.read.parquet(f"{d}/transcripts.parquet"))
+
+
 def _kg_jsonld_graph_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-level validation over the committed reference-shaped JSON-LD
     fixture: orphaned entities (warning) + broken references (error),
@@ -335,6 +346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_edges_xturn": _kg_entity_edges_xturn,
         "kg_jsonld_conversion": _kg_jsonld_conversion,
         "kg_jsonld_graph_validation": _kg_jsonld_graph_validation,
+        "kg_pii_scrub": _kg_pii_scrub,
         "kg_degree_stats": _kg_degree_stats,
         "kg_triangle_count": _kg_triangle_count,
         "kg_two_hop_reach": _kg_two_hop_reach,
@@ -1222,6 +1234,29 @@ WHERE obj_is_ref OR pred NOT IN (SELECT pred FROM uidp)
 """
 
 
+def _pii_scrub_sql(path: str) -> str:
+    """DuckDB twin of quality.pii_scrub: identical patterns (shared
+    constants), identical email -> ip -> phone replacement order."""
+    from kartograph_spark.datapipe.quality import IPV4_RE, PHONE_RE
+    from kartograph_spark.rules import EMAIL_RE
+
+    return f"""
+WITH tr AS (SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, text
+            FROM read_parquet('{path}')),
+s AS (SELECT conv_id, turn_idx, text,
+             regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g') AS no_email
+      FROM tr),
+s2 AS (SELECT *, regexp_replace(no_email, '{IPV4_RE}', '[IP]', 'g') AS no_ip
+       FROM s)
+SELECT conv_id, turn_idx,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(no_email, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(no_ip, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(no_ip, '{PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5
+FROM s2
+"""
+
+
 def _transcript_oracle_sql() -> dict[str, str]:
     """DuckDB oracles over the deterministic corpus parquet.  The corpus
     is a pure function of the seed and lives at a fixed repo path; the
@@ -1329,6 +1364,7 @@ FROM dd WHERE rn = 1
         "kg_entity_edges_xturn": edges_sql(
             "PARTITION BY conv_id ORDER BY turn_idx, cpos"
         ),
+        "kg_pii_scrub": _pii_scrub_sql(path),
         "kg_pipeline_synthetic": _pipeline_oracle_sql(path),
         # MATERIALIZED below is load-bearing: DuckDB inlines CTEs by
         # default, and these graph oracles reference the pipeline CTE

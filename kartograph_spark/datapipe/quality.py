@@ -165,3 +165,38 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hits") / F.col("n_shingles"), 4).alias("hit_ratio"),
         )
     )
+
+
+#: PII patterns (engine-portable: same string compiles in Java regex and
+#: RE2, so the oracle replays the scrub exactly)
+IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PHONE_RE = r"\+?[0-9][0-9().\s-]{7,}[0-9]"
+
+
+def pii_scrub(transcripts: DataFrame) -> DataFrame:
+    """PII masking — the curation stage that redacts contact data before
+    a corpus ships: emails (the same EMAIL_RE the extractor recognizes),
+    IPv4 addresses and phone-shaped digit runs replaced with typed
+    placeholders, with per-row match counts for the scrub report.
+
+    Pure column map (regexp_count + a regexp_replace chain, zero
+    shuffle); the output carries the redacted text's md5 rather than the
+    text so the driver hash check stays compact.  Replacement order
+    (email -> ip -> phone) is part of the contract: an email's digits
+    must not be re-matched as a phone number, and the oracle applies the
+    identical order.
+    """
+    from kartograph_spark.rules import EMAIL_RE
+
+    t = F.col("text")
+    no_email = F.regexp_replace(t, EMAIL_RE, "[EMAIL]")
+    no_ip = F.regexp_replace(no_email, IPV4_RE, "[IP]")
+    redacted = F.regexp_replace(no_ip, PHONE_RE, "[PHONE]")
+    return transcripts.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(no_email, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(no_ip, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
