@@ -89,3 +89,54 @@ def test_asof_join_matches_brute_force(spark, left_rows, right_rows):
         ]
         expect[i] = max(cands)[1] if cands else None
     assert out == expect
+
+
+_json_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-10**6, max_value=10**6),
+    st.text(alphabet="abcXYZ0-9_:ur n", max_size=12),
+)
+_json_values = st.recursive(
+    _json_scalars,
+    lambda kids: st.one_of(
+        st.lists(kids, max_size=3),
+        st.dictionaries(st.text(alphabet="abc@idtype", min_size=1, max_size=6), kids, max_size=3),
+    ),
+    max_leaves=8,
+)
+_entity_dicts = st.dictionaries(
+    st.sampled_from(["@id", "@type", "name", "owner", "tags", "x"]),
+    _json_values,
+    max_size=5,
+)
+
+
+@_SETTINGS
+@given(st.lists(_entity_dicts, min_size=1, max_size=5))
+def test_jsonld_loader_and_validator_total(spark, tmp_path_factory, dicts):
+    """The variant loader + validator are TOTAL over arbitrary JSON
+    entities: no exception, and every loaded entity is either valid or
+    carries at least one error row (warnings alone never drop one)."""
+    import json as _json
+
+    from kartograph_spark.jsonld import (
+        load_jsonld_graph_lines,
+        validate_jsonld_entities,
+    )
+
+    p = tmp_path_factory.mktemp("fz") / "ents.jsonl"
+    p.write_text("\n".join(_json.dumps(d) for d in dicts))
+    ents = load_jsonld_graph_lines(spark, str(p))
+    n = ents.count()
+    assert n == len(dicts)
+    valid, errs = validate_jsonld_entities(ents)
+    n_valid = valid.count()
+    err_rows = errs.collect()
+    n_err_entities = len({e["entity_id"] for e in err_rows if e["severity"] == "error"})
+    # error-severity entity ids may collide on 'unknown' (missing @id), so
+    # partition holds as an inequality both ways
+    assert n_valid <= n
+    assert n_valid + n_err_entities <= n + len(dicts)
+    if n_valid < n:
+        assert n_err_entities >= 1
