@@ -69,6 +69,54 @@ def test_triangle_counts_k4_plus_star(spark):
     assert got == {("a", 3), ("b", 3), ("c", 3), ("d", 3)}
 
 
+def test_two_hop_approx_tracks_exact(spark):
+    """two_hop_reach_approx vs two_hop_reach_exact on a KG-shaped graph
+    (hub + chain + clique).  With an uncapped hub the only error is
+    HLL's; rsd=0.02 keeps every estimate within 10% relative error at
+    these cardinalities."""
+    from kartograph_spark.components import (
+        two_hop_reach_approx,
+        two_hop_reach_exact,
+    )
+
+    hub = [("hub", f"leaf{i:02d}") for i in range(30)]
+    chain = [(f"c{i}", f"c{i + 1}") for i in range(6)]
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    pairs = _pairs(spark, hub + chain + k4 + [("a", "hub"), ("c0", "leaf00")])
+    exact = {r["urn"]: r["n_reach"] for r in two_hop_reach_exact(pairs).collect()}
+    approx = {
+        r["urn"]: r["n_reach"]
+        for r in two_hop_reach_approx(pairs, hub_cap=10_000, rsd=0.02).collect()
+    }
+    assert set(approx) == set(exact)
+    for urn, n in exact.items():
+        assert abs(approx[urn] - n) <= max(1, 0.1 * n), (urn, n, approx[urn])
+
+
+def test_two_hop_hub_cap_is_lower_bound(spark):
+    """A capped hub yields a one-sided (lower-bound) estimate for nodes
+    routing through it, and never affects nodes that don't."""
+    from kartograph_spark.components import (
+        two_hop_reach_approx,
+        two_hop_reach_exact,
+    )
+
+    hub = [("hub", f"leaf{i:02d}") for i in range(30)]
+    side = [("x", "hub"), ("p", "q")]
+    pairs = _pairs(spark, hub + side)
+    exact = {r["urn"]: r["n_reach"] for r in two_hop_reach_exact(pairs).collect()}
+    capped = {
+        r["urn"]: r["n_reach"]
+        for r in two_hop_reach_approx(pairs, hub_cap=5, rsd=0.02).collect()
+    }
+    # x reaches hub + 30 leaves exactly; through the capped hub it sees
+    # only 5 of them (one-sided truncation, never an overcount)
+    assert capped["x"] < exact["x"]
+    assert capped["x"] >= 5
+    # the isolated pair is untouched by the cap
+    assert capped["p"] == exact["p"] == 1
+
+
 def test_triangle_counts_dedupes_and_ignores_direction(spark):
     from kartograph_spark.components import triangle_counts
 
