@@ -44,10 +44,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 _SYNTH_CACHE: dict[str, str] = {}
 
+from kartograph_spark.synth import CORPUS_TAG as _CORPUS_TAG
+
 #: deterministic corpus location — a REPO path (not tempdir) so the DuckDB
-#: oracles can read the same parquet via read_parquet() in any process
+#: oracles can read the same parquet via read_parquet() in any process;
+#: the synth.CORPUS_TAG suffix invalidates the exists-check whenever the
+#: generator's planted content changes
 _ENTRY_CORPUS_DIR = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "data", "entry_corpus_v2"
+    os.path.dirname(os.path.abspath(__file__)), "data", f"entry_corpus_{_CORPUS_TAG}"
 )
 
 

@@ -26,7 +26,9 @@ def _ensure_corpus(sf: float) -> str:
 
     n_conv = max(200, int(50000 * sf))
     d = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "data", f"bench_corpus_{n_conv}"
+        os.path.dirname(os.path.abspath(__file__)),
+        "data",
+        f"bench_corpus_{synth.CORPUS_TAG}_{n_conv}",
     )
     if not os.path.exists(os.path.join(d, "transcripts.parquet")):
         synth.write_corpus(d, n_conv=n_conv, mean_turns=30)

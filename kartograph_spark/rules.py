@@ -65,6 +65,35 @@ VERB_PATTERNS: list[tuple[str, str, str, str]] = [
         "writtenIn",
         "ProgrammingLanguage",
     ),
+    # Remaining HIGH-confidence tier (PROCESS.md:2211-2218 "extract and
+    # create relationships automatically"): direct integration mentions
+    # ("integrates with X API", "calls Y service"), ownership statements
+    # ("owned by Y", "developed by Y team"), and the monitoring-tool verb
+    # ("monitored via X").  Same invariants as above: every literal starts
+    # lowercase, single-token objects carry no spaces, and the one new
+    # multi-word object span (developed_by) requires each word to start
+    # uppercase — so the combined single-pass scan still equals
+    # independent per-pattern scans.
+    (
+        "integrates_with",
+        r"\bintegrates with ([A-Z][A-Za-z0-9_+.-]*)",
+        "integratesWith",
+        "Tool",
+    ),
+    ("calls", r"\bcalls ([A-Z][A-Za-z0-9_+.-]*)", "calls", "Service"),
+    ("owned_by", r"\bowned by (?:the )?([A-Z][A-Za-z0-9_-]*)", "ownedBy", "Team"),
+    (
+        "developed_by",
+        r"\bdeveloped by (?:the )?([A-Z][A-Za-z0-9_-]*(?: [A-Z][A-Za-z0-9_-]*)*?) team",
+        "developedBy",
+        "Team",
+    ),
+    (
+        "monitored_via",
+        r"\bmonitored via ([A-Z][A-Za-z0-9_+.-]*)",
+        "monitoredVia",
+        "Tool",
+    ),
 ]
 
 def combined_position_re() -> str:
@@ -125,6 +154,11 @@ KIND_RANK = {
     "backed_by": 6,
     "maintained_by": 7,
     "written_in": 8,
+    "integrates_with": 9,
+    "calls": 10,
+    "owned_by": 11,
+    "developed_by": 12,
+    "monitored_via": 13,  # triples.py packs kind_rank in 4 bits: max is 14
 }
 
 # --------------------------------------------------------------------------

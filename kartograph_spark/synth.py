@@ -25,6 +25,15 @@ import pandas as pd
 
 SEED = 42
 
+#: bump when generator CONTENT changes (new planted patterns, template or
+#: pool edits): corpus directories embed this tag, so stale exists-checked
+#: corpora from earlier generator versions are never silently reused.
+#: v3 = round 4, plants the full HIGH-confidence verb tier (integrates
+#: with / calls / owned by / developed by / monitored via).
+CORPUS_TAG = "v3"
+
+SERVICES = ["Vault", "Hive", "Billing-API", "Checkout"]
+
 TOOLS = [
     "Prometheus", "Grafana", "ArgoCD", "Vault", "Redis",
     "Kafka", "Spark", "Airflow", "Jenkins", "Istio",
@@ -97,6 +106,19 @@ def _build_text_pool(rng: np.random.Generator, n: int = 3000) -> list[str]:
     add("Contact alice@example.com or join #incident-response for help.")
     add("Repo at https://github.com/org/payment-api (see #platform_eng).")
     add("The payment-api service (aka payment_service, Payment API) uses Kafka.")
+    # full HIGH-confidence verb tier (PROCESS.md:2211-2218): integration,
+    # ownership, development and monitoring phrasings
+    add("The ingest service is owned by SRE and monitored via Grafana dashboards.")
+    # sentence-final object: the charset admits '.', so the trailing
+    # period joins the token ('urn:Tool:grafana.') — a deliberate noisy-
+    # surface fixture (slug/URN encoding must cope; linking won't match)
+    add("That job is monitored via Grafana.")
+    add("It integrates with GitHub API and calls Vault for secrets.")
+    add("The console was developed by the Advanced Cluster Security team.")
+    add(
+        "Billing is owned by the Platform org, integrates with Stripe,"
+        " and calls Checkout on every purchase."
+    )
 
     # Templated filler
     tools = np.array(TOOLS)
@@ -126,7 +148,13 @@ def _build_text_pool(rng: np.random.Generator, n: int = 3000) -> list[str]:
         # dictionary re-links to their canonical entities (J7 + CC fixtures)
         "Billing flow uses Payment-API for settlement.",
         "The ingest job is deployed via K8s and uses Payment_Service.",
+        # round-4 HIGH-tier verbs (ownership / integration / monitoring)
+        "The operator is owned by {team} and monitored via {tool} alerts.",
+        "It integrates with {tool} API and calls {svc} for data.",
+        "The dashboard was developed by the {team} team; alerts in {slack}.",
+        "Check <{urn}>: owned by {team}, calls {svc}, monitored via {tool} panels.",
     ]
+    svcs = np.array(SERVICES)
     while len(pool) < n:
         t = templates[int(rng.integers(0, len(templates)))]
         txt = t.format(
@@ -140,6 +168,7 @@ def _build_text_pool(rng: np.random.Generator, n: int = 3000) -> list[str]:
             email=rng.choice(emails),
             url=rng.choice(urls),
             slack=rng.choice(slacks),
+            svc=rng.choice(svcs),
         )
         pool.append(txt)
     return pool
@@ -220,6 +249,15 @@ def gen_alias_dictionary(seed: int = SEED) -> pd.DataFrame:
         rows.append((norm, f"urn:Team:{norm.replace(' ', '-')}", "Team", team))
     for db in DBS:
         rows.append((db.lower(), f"urn:Database:{db.lower()}", "Database", db))
+    # service vocabulary for the round-4 "calls X" tier.  Vault is
+    # deliberately OMITTED: its "vault" alias already maps to
+    # urn:Tool:vault, so "calls Vault" mentions (urn:Service:vault) link
+    # across types through the dictionary — a cross-type merge fixture.
+    for svc in SERVICES:
+        if svc == "Vault":
+            continue
+        norm = svc.lower().replace("-", " ")
+        rows.append((norm, f"urn:Service:{svc.lower()}", "Service", svc))
     # filler rows to reach dictionary scale (~500) with unique keys
     rng = np.random.default_rng(seed)
     for i in range(460):

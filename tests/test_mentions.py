@@ -125,6 +125,61 @@ def test_maintained_by_multiword_uppercase_team():
     assert by_pred["maintainedBy"] == "urn:Team:core-infra"
 
 
+def test_high_tier_verb_patterns_round4():
+    """The remaining HIGH-confidence tier (PROCESS.md:2211-2218):
+    integration, call, ownership, development, monitoring phrasings."""
+    m = extract_mentions_block(
+        _turns(
+            "It integrates with GitHub API, calls Vault for secrets, "
+            "is owned by SRE, was developed by the Advanced Cluster "
+            "Security team and is monitored via Grafana dashboards."
+        )
+    )
+    by_pred = dict(zip(m["pred"], m["urn"]))
+    assert by_pred["integratesWith"] == "urn:Tool:github"
+    assert by_pred["calls"] == "urn:Service:vault"
+    assert by_pred["ownedBy"] == "urn:Team:sre"
+    assert by_pred["developedBy"] == "urn:Team:advanced-cluster-security"
+    assert by_pred["monitoredVia"] == "urn:Tool:grafana"
+
+
+def test_owned_by_optional_the():
+    m = extract_mentions_block(_turns("owned by the Platform org"))
+    by_pred = dict(zip(m["pred"], m["urn"]))
+    assert by_pred["ownedBy"] == "urn:Team:platform"
+
+
+def test_verb_nested_in_developed_by_span_not_swallowed():
+    """Same invariant as the maintained_by nested case: the developed_by
+    multi-word object charset requires every word to start uppercase, so
+    a lowercase verb literal inside the would-be span is never consumed —
+    the inner mention survives the combined scan and the malformed
+    developed_by does not match."""
+    m = extract_mentions_block(
+        _turns("developed by the Team uses Docker team")
+    )
+    by_pred = dict(zip(m["pred"], m["urn"]))
+    assert by_pred["usesTool"] == "urn:Tool:docker"
+    assert "developedBy" not in by_pred
+
+
+def test_nested_verbs_after_single_token_objects():
+    """Single-token object charsets stop at whitespace, so a verb phrase
+    immediately following another's object is always emitted."""
+    m = extract_mentions_block(
+        _turns(
+            "calls Checkout integrates with Stripe monitored via "
+            "Prometheus owned by SRE"
+        )
+    )
+    by_pred = dict(zip(m["pred"], m["urn"]))
+    assert by_pred["calls"] == "urn:Service:checkout"
+    assert by_pred["integratesWith"] == "urn:Tool:stripe"
+    assert by_pred["monitoredVia"] == "urn:Tool:prometheus"
+    assert by_pred["ownedBy"] == "urn:Team:sre"
+    assert len(m) == 4
+
+
 def test_verb_subject_attribution_nearest_preceding():
     m = extract_mentions_block(
         _turns(

@@ -201,7 +201,9 @@ def main() -> None:
     large = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     from kartograph_spark import synth
 
-    corpus = os.path.join(REPO, "data", f"scaling_corpus_{n_conv}")
+    corpus = os.path.join(
+        REPO, "data", f"scaling_corpus_{synth.CORPUS_TAG}_{n_conv}"
+    )
     if not os.path.exists(os.path.join(corpus, "transcripts.parquet")):
         print("generating corpus...", synth.write_corpus(corpus, n_conv=n_conv, mean_turns=30))
 
