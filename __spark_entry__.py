@@ -232,6 +232,28 @@ def _kg_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("node").alias("urn"), "n_triangles")
 
 
+def _kg_type_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse per-entity-type predicate map over the constructed KG — the
+    schema-generation depth the reference emits as ``type X { pred... }``
+    blocks (load_dgraph.py:114-118, 219-227): one row per (entity_type,
+    predicate) with its triple count, dgraph.type itself excluded exactly
+    as the reference skips the @type key.  Backing operator:
+    graph.infer_type_predicates / generate_schema_text."""
+    t = _kg_pipeline_triples(spark, sf_dir)
+    types = (
+        t.filter(F.col("pred") == "dgraph.type")
+        .select("subj", F.col("obj").alias("entity_type"))
+        .distinct()
+    )
+    return (
+        t.filter(F.col("pred") != "dgraph.type")
+        .join(types, "subj")
+        .select("entity_type", F.col("pred").alias("predicate"))
+        .groupBy("entity_type", "predicate")
+        .agg(F.count(F.lit(1)).alias("n_triples"))
+    )
+
+
 def _kg_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity 2-hop neighborhood size over the KG's undirected uid
     edge set: |{nodes reachable in <= 2 hops}|, excluding the node itself
@@ -296,6 +318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_two_hop_reach": _kg_two_hop_reach,
         "kg_connected_components": _kg_connected_components,
         "kg_degree_stats": _kg_degree_stats,
+        "kg_type_predicates": _kg_type_predicates,
         # transcript KG extraction (seeded corpus, read_parquet oracles)
         "kg_transcript_mentions": _kg_transcript_mentions,
         "kg_entity_edges": _kg_entity_edges,
@@ -309,7 +332,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_schema_inference": textstats.schema_inference,
         "kg_first_mention": textstats.first_mention,
         "text_lang_quality": textstats.lang_quality,
-        "text_fingerprints": textstats.fingerprints,
         "text_bpe_tokens": textstats.bpe_tokens,
         # dataset assembly (training-data pipeline tail)
         "pipe_stratified_sample": sampling.stratified_sample,
@@ -365,6 +387,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_event_rollup": relational.event_rollup,
         "rel_purchase_click_intersect": relational.purchase_click_overlap,
         "rel_order_priority_hist": relational.order_priority_histogram,
+        # fingerprint op also exercised in-window through dedup_exact,
+        # which groups on the same fingerprint column
+        "text_fingerprints": textstats.fingerprints,
     }
 
 
@@ -1408,6 +1433,15 @@ two AS (
 SELECT a AS urn, CAST(count(DISTINCT b) AS BIGINT) AS n_reach
 FROM (SELECT a, b FROM sym UNION ALL SELECT a, b FROM two)
 GROUP BY a
+""",
+        "kg_type_predicates": f"""
+WITH p AS MATERIALIZED ({_pipeline_oracle_sql(path)}),
+ty AS (SELECT DISTINCT subj, obj AS entity_type FROM p
+       WHERE pred = 'dgraph.type')
+SELECT ty.entity_type, p.pred AS predicate, count(*) AS n_triples
+FROM p JOIN ty ON p.subj = ty.subj
+WHERE p.pred <> 'dgraph.type'
+GROUP BY 1, 2
 """,
         "kg_degree_stats": f"""
 WITH p AS MATERIALIZED ({_pipeline_oracle_sql(path)}),

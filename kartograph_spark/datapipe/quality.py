@@ -51,15 +51,17 @@ def _toks() -> Column:
     return F.split(F.col("text"), " ")
 
 
-def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc repetition stats: distinct-token ratio, top-token fraction,
-    top-bigram fraction (rounded to 4 places, matching the oracle).
+#: per-row HOF cost is O(tokens * distinct-tokens): fine for web-scale
+#: doc lengths, quadratic on book-length docs — above this token count
+#: the explode + two-level groupBy twin takes over (same outputs)
+REPETITION_EXPLODE_MIN_TOKENS = 2048
 
-    All computed inside one projection — array_distinct + nested
-    filter/transform HOFs — so the operator is a pure map with no
-    shuffle and survives any partitioning of the corpus.
-    """
-    toks = _toks()
+
+def _repetition_hof(d: DataFrame) -> DataFrame:
+    """d(doc_id, toks) -> repetition stats as one shuffle-free projection
+    (array_distinct + nested filter/transform HOFs): a pure map that
+    survives any partitioning, but per-row O(tokens * distinct)."""
+    toks = F.col("toks")
     n = F.size(toks)
     top_tok = F.array_max(
         F.transform(
@@ -78,7 +80,7 @@ def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.size(F.filter(bigrams, lambda t: t == x)),
         )
     )
-    return docs(spark, sf_dir).select(
+    return d.select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
         F.round(F.size(F.array_distinct(toks)) / n, 4).alias("distinct_ratio"),
@@ -87,6 +89,62 @@ def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("top_bigram_ratio"),
     )
+
+
+def _repetition_exploded(d: DataFrame) -> DataFrame:
+    """d(doc_id, toks) -> identical stats via explode + two-level groupBy
+    (linear per-row work, two map-side-combinable shuffles): the
+    book-length path.  Counts are integers and the output expressions
+    apply the identical op sequence, so results match the HOF twin
+    bit-for-bit (pinned by tests/test_quality.py)."""
+    n = F.col("n")
+    base = d.select("doc_id", F.size("toks").alias("n"), "toks")
+    tstats = (
+        base.select("doc_id", "n", F.explode("toks").alias("g"))
+        .groupBy("doc_id", "n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n")
+        .agg(F.max("c").alias("top_tok"), F.count(F.lit(1)).alias("n_distinct"))
+    )
+    bigrams = F.zip_with(
+        F.slice("toks", 1, n - 1),
+        F.slice("toks", 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bstats = (
+        base.select("doc_id", "n", F.explode(bigrams).alias("g"))
+        .groupBy("doc_id", "n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n")
+        .agg(F.max("c").alias("top_big"))
+    )
+    return tstats.join(bstats, ["doc_id", "n"], "left").select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(F.col("n_distinct") / n, 4).alias("distinct_ratio"),
+        F.round(F.col("top_tok") / n, 4).alias("top_token_ratio"),
+        F.when(n > 1, F.round(F.col("top_big") / (n - 1), 4))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_ratio"),
+    )
+
+
+def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition stats: distinct-token ratio, top-token fraction,
+    top-bigram fraction (rounded to 4 places, matching the oracle).
+
+    Length-switched plan: docs at or under REPETITION_EXPLODE_MIN_TOKENS
+    take the shuffle-free HOF projection; longer docs (book-length, where
+    the HOF's O(tokens * distinct) per-row cost goes quadratic) take the
+    explode + groupBy twin.  Outputs are bit-identical either way, so the
+    switch threshold never changes results — only the physical plan.
+    """
+    d = docs(spark, sf_dir).select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    short = d.filter(F.size("toks") <= REPETITION_EXPLODE_MIN_TOKENS)
+    long = d.filter(F.size("toks") > REPETITION_EXPLODE_MIN_TOKENS)
+    return _repetition_hof(short).unionByName(_repetition_exploded(long))
 
 
 def source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

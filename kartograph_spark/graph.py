@@ -131,10 +131,32 @@ def build_edges(triples: DataFrame) -> DataFrame:
     )
 
 
+#: predicates the reference indexes for fast queries (load_dgraph.py:232)
+INDEXED_PREDICATES = {"name", "url", "email", "id", "path", "namespace"}
+
+
+def _index_tokens(predicate: str, resolved: str) -> list[str]:
+    """Dgraph index selection (load_dgraph.py:229-265): uid predicates get
+    @reverse instead of @index; among INDEXED_PREDICATES, ``name`` gets
+    (exact, term, fulltext, trigram) — trigram is required for regexp()
+    matching — other strings (exact, term, trigram), and int/bool/float
+    their own-type index; everything else is unindexed."""
+    if resolved == "uid" or predicate not in INDEXED_PREDICATES:
+        return []
+    if resolved == "string":
+        if predicate == "name":
+            return ["exact", "term", "fulltext", "trigram"]
+        return ["exact", "term", "trigram"]
+    if resolved in ("int", "bool", "float"):
+        return [resolved]
+    return []
+
+
 def infer_schema_manifest(triples: DataFrame) -> list[dict]:
     """Per-predicate dtype resolution (load_dgraph.py:86-206):
     any uid observation -> uid; mixed scalars -> string; else the single
-    observed scalar type.  Also records per-predicate triple counts."""
+    observed scalar type.  Also records per-predicate triple counts and
+    the reference's index selection (load_dgraph.py:229-265)."""
     agg = (
         triples.groupBy("pred")
         .agg(
@@ -159,9 +181,64 @@ def infer_schema_manifest(triples: DataFrame) -> list[dict]:
                 "resolved_type": resolved,
                 "count": r["n"],
                 "reverse": resolved == "uid",  # @reverse on uid preds (load_dgraph.py:244)
+                "index": _index_tokens(r["pred"], resolved),
             }
         )
     return out
+
+
+def infer_type_predicates(triples: DataFrame) -> list[dict]:
+    """Sparse per-entity-type predicate lists (load_dgraph.py:114-118,
+    219-227): for each entity type, the sorted set of predicates observed
+    on subjects of that type — the reference's ``type X { pred... }``
+    blocks.  ``dgraph.type`` itself is excluded, mirroring the reference
+    skipping the @type key in its per-entity predicate loop.
+
+    Two vocabulary-sized aggregations + one broadcastable join: the type
+    map (subj -> type) is entity-vocabulary-sized even at 10^12 turns.
+    """
+    types = (
+        triples.filter(F.col("pred") == rules.DGRAPH_TYPE_PRED)
+        .select("subj", F.col("obj").alias("type"))
+        .distinct()
+    )
+    agg = (
+        triples.filter(F.col("pred") != rules.DGRAPH_TYPE_PRED)
+        .join(types, "subj")
+        .groupBy("type")
+        .agg(F.sort_array(F.collect_set("pred")).alias("predicates"))
+        .orderBy("type")
+    )
+    return [
+        {"type": r["type"], "predicates": list(r["predicates"])}
+        for r in agg.collect()
+    ]
+
+
+def generate_schema_text(manifest: list[dict], type_predicates: list[dict]) -> str:
+    """Dgraph-style schema file from the manifest — line-for-line the
+    reference's generate_schema (load_dgraph.py:209-265): sparse type
+    blocks first, a blank separator, the hardcoded indexed ``type``
+    predicate, then sorted predicate definitions (uid -> ``[uid]
+    @reverse``, indexed scalars -> ``@index(...)``)."""
+    lines: list[str] = []
+    for tp in sorted(type_predicates, key=lambda t: t["type"]):
+        lines.append(f"type {tp['type']} {{")
+        lines.extend(f"  {p}" for p in sorted(tp["predicates"]))
+        lines.append("}")
+    lines.append("")
+    lines.append("type: string @index(exact, term) .")
+    for m in sorted(manifest, key=lambda m: m["predicate"]):
+        pred, resolved = m["predicate"], m["resolved_type"]
+        if pred in ("type", rules.DGRAPH_TYPE_PRED):
+            continue
+        if resolved == "uid":
+            lines.append(f"{pred}: [uid] @reverse .")
+        elif m.get("index"):
+            lines.append(f"{pred}: {resolved} @index({', '.join(m['index'])}) .")
+        else:
+            lines.append(f"{pred}: {resolved} .")
+    return "\n".join(lines)
 
 
 def write_schema_manifest(manifest: list[dict], out_dir: str) -> str:
@@ -170,3 +247,22 @@ def write_schema_manifest(manifest: list[dict], out_dir: str) -> str:
     with open(p, "w") as f:
         json.dump(manifest, f, indent=2)
     return p
+
+
+def write_schema_artifacts(
+    manifest: list[dict], type_predicates: list[dict], out_dir: str
+) -> dict[str, str]:
+    """All three schema outputs the reference's schema stage produces:
+    the manifest JSON, the per-type predicate lists, and the Dgraph-style
+    schema text (generate_schema, load_dgraph.py:209-265)."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {"manifest": write_schema_manifest(manifest, out_dir)}
+    tp = os.path.join(out_dir, "type_predicates.json")
+    with open(tp, "w") as f:
+        json.dump(type_predicates, f, indent=2)
+    paths["type_predicates"] = tp
+    sp = os.path.join(out_dir, "schema.dgraph")
+    with open(sp, "w") as f:
+        f.write(generate_schema_text(manifest, type_predicates) + "\n")
+    paths["schema"] = sp
+    return paths

@@ -35,7 +35,8 @@ from kartograph_spark.graph import (
     build_edges,
     build_nodes,
     infer_schema_manifest,
-    write_schema_manifest,
+    infer_type_predicates,
+    write_schema_artifacts,
 )
 from kartograph_spark.lineage import (
     completed_partitions,
@@ -211,7 +212,7 @@ def run_pipeline(
     store.write(val.validation_summary(errors), "validation_summary")
 
     manifest = infer_schema_manifest(triples_out)
-    write_schema_manifest(manifest, out_dir)
+    write_schema_artifacts(manifest, infer_type_predicates(triples_out), out_dir)
 
     dur = time.time() - t0
     n_triples = triples_out.count()

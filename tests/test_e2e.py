@@ -86,6 +86,19 @@ def test_schema_manifest(pipeline_out):
     assert by_pred["turn_count"]["resolved_type"] == "int"
     assert by_pred["has_tool_calls"]["resolved_type"] == "bool"
     assert by_pred["avg_gap_secs"]["resolved_type"] == "float"
+    assert by_pred["name"]["index"] == ["exact", "term", "fulltext", "trigram"]
+    assert by_pred["mentions"]["index"] == []
+
+    # sparse per-type predicate lists + Dgraph-style schema text
+    tps = {t["type"]: t["predicates"] for t in json.load(
+        open(f"{out}/type_predicates.json")
+    )}
+    assert "turn_count" in tps["Conversation"]
+    assert all("dgraph.type" not in ps for ps in tps.values())
+    schema = open(f"{out}/schema.dgraph").read()
+    assert "name: string @index(exact, term, fulltext, trigram) ." in schema
+    assert "mentions: [uid] @reverse ." in schema
+    assert "type Conversation {" in schema
 
 
 def test_long_conversation_salting(spark):
@@ -129,7 +142,7 @@ def test_report_sinks_written(pipeline_out):
     for name in (
         "metrics.json", "metrics.csv", "metrics.md",
         "validation_report.md", "validation_report.txt",
-        "schema_manifest.json",
+        "schema_manifest.json", "type_predicates.json", "schema.dgraph",
     ):
         p = os.path.join(out, name)
         assert os.path.exists(p) and os.path.getsize(p) > 0, name

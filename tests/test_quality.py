@@ -147,3 +147,37 @@ def test_decontaminate_default_fraction(spark, docs_dir):
         for r in quality.decontaminate(spark, docs_dir).collect()
     }
     assert got == _expected_decon()
+
+
+def test_repetition_length_switch_book_doc(spark, tmp_path_factory):
+    """The explode+groupBy twin and the HOF path produce bit-identical
+    rows, and repetition_metrics routes a book-length doc through the
+    exploded branch without changing any result."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(500)]
+    book = " ".join(rng.choice(vocab, size=quality.REPETITION_EXPLODE_MIN_TOKENS + 5000))
+    docs = DOCS + [
+        {"doc_id": 7777, "text": book, "lang": "en", "source": "s0"},
+        # exactly at the threshold: stays on the HOF path
+        {"doc_id": 7778,
+         "text": " ".join(rng.choice(vocab, size=quality.REPETITION_EXPLODE_MIN_TOKENS)),
+         "lang": "en", "source": "s0"},
+    ]
+    d = tmp_path_factory.mktemp("quality-book")
+    pdf = pd.DataFrame(docs)
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf.to_parquet(d / "documents.parquet", index=False)
+
+    toks = spark.read.parquet(f"{d}/documents.parquet").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    hof = {r.doc_id: tuple(r) for r in quality._repetition_hof(toks).collect()}
+    expl = {r.doc_id: tuple(r) for r in quality._repetition_exploded(toks).collect()}
+    assert hof == expl  # bit-identical twins on every doc
+
+    got = {r.doc_id: tuple(r) for r in quality.repetition_metrics(spark, str(d)).collect()}
+    assert got == hof
+    assert got[7777][1] == quality.REPETITION_EXPLODE_MIN_TOKENS + 5000

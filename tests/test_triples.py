@@ -187,3 +187,87 @@ def test_build_nodes_description_last_non_none(spark):
         }
         assert got["urn:Service:a"] == "second desc"
         assert got["urn:Service:b"] is None
+
+
+def _schema_fixture(spark):
+    """Triple set exercising every index-selection branch of the
+    reference's generate_schema (load_dgraph.py:209-265)."""
+    rows = [
+        ("urn:Service:a", "dgraph.type", "Service", False, "string", "c1", 0),
+        ("urn:Service:a", "name", "A", False, "string", "c1", 0),
+        ("urn:Service:a", "url", "https://x", False, "string", "c1", 0),
+        ("urn:Service:a", "mentions", "urn:Tool:t", True, "uid", "c1", 0),
+        ("urn:Service:a", "notes", "free text", False, "string", "c1", 0),
+        ("urn:Tool:t", "dgraph.type", "Tool", False, "string", "c1", 1),
+        ("urn:Tool:t", "name", "T", False, "string", "c1", 1),
+        ("urn:Conversation:c1", "dgraph.type", "Conversation", False, "string", "c1", 0),
+        ("urn:Conversation:c1", "turn_count", "3", False, "int", "c1", 0),
+        ("urn:Conversation:c1", "has_tool_calls", "true", False, "bool", "c1", 0),
+        # mixed scalar types on one predicate -> string
+        ("urn:Tool:t", "notes", "7", False, "int", "c1", 1),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_ref boolean, dtype string,"
+        " conv_id string, turn_idx long",
+    )
+
+
+def test_schema_manifest_index_selection(spark):
+    """Index rules transcribed from load_dgraph.py:229-265: name gets
+    (exact, term, fulltext, trigram) — trigram required for regexp() —
+    other INDEXED_PREDICATES strings (exact, term, trigram), uid preds
+    @reverse with no @index, unlisted scalars unindexed."""
+    from kartograph_spark.graph import infer_schema_manifest
+
+    by_pred = {m["predicate"]: m for m in infer_schema_manifest(_schema_fixture(spark))}
+    assert by_pred["name"]["index"] == ["exact", "term", "fulltext", "trigram"]
+    assert by_pred["url"]["index"] == ["exact", "term", "trigram"]
+    assert by_pred["mentions"]["resolved_type"] == "uid"
+    assert by_pred["mentions"]["reverse"] is True
+    assert by_pred["mentions"]["index"] == []
+    assert by_pred["notes"]["resolved_type"] == "string"  # mixed -> string
+    assert by_pred["notes"]["index"] == []
+    assert by_pred["turn_count"]["index"] == []  # int, not in INDEXED_PREDICATES
+
+
+def test_type_predicates_sparse(spark):
+    """Per-type predicate lists (load_dgraph.py:114-118, 219-227): each
+    type lists only predicates observed on its entities; dgraph.type
+    itself is excluded (the reference skips the @type key)."""
+    from kartograph_spark.graph import infer_type_predicates
+
+    tp = {t["type"]: t["predicates"] for t in infer_type_predicates(_schema_fixture(spark))}
+    assert tp["Service"] == ["mentions", "name", "notes", "url"]
+    assert tp["Tool"] == ["name", "notes"]
+    assert tp["Conversation"] == ["has_tool_calls", "turn_count"]
+    assert "dgraph.type" not in {p for ps in tp.values() for p in ps}
+
+
+def test_generate_schema_text_reference_format(spark):
+    """Line format parity with generate_schema: sparse type blocks, the
+    hardcoded indexed type predicate, [uid] @reverse relationships,
+    @index(...) scalar lines."""
+    from kartograph_spark.graph import (
+        generate_schema_text,
+        infer_schema_manifest,
+        infer_type_predicates,
+    )
+
+    df = _schema_fixture(spark)
+    text = generate_schema_text(
+        infer_schema_manifest(df), infer_type_predicates(df)
+    )
+    lines = text.splitlines()
+    assert "type Service {" in lines
+    i = lines.index("type Service {")
+    assert lines[i + 1 : i + 5] == ["  mentions", "  name", "  notes", "  url"]
+    assert lines[i + 5] == "}"
+    assert "type: string @index(exact, term) ." in lines
+    assert "name: string @index(exact, term, fulltext, trigram) ." in lines
+    assert "url: string @index(exact, term, trigram) ." in lines
+    assert "mentions: [uid] @reverse ." in lines
+    assert "notes: string ." in lines
+    assert "turn_count: int ." in lines
+    # type blocks come before the predicate section
+    assert lines.index("type: string @index(exact, term) .") > i
