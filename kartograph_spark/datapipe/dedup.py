@@ -79,17 +79,30 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def _sized_buckets(melted: DataFrame, *keys: str) -> DataFrame:
+def _sized_buckets(melted: DataFrame, *keys: str, persist: bool = False) -> DataFrame:
     """Attach per-bucket size + min doc over the LSH key columns.
 
-    The window partitions by the SAME key the candidate self-join uses, so
-    the sorted exchange it introduces is reused by the join (one shuffle
-    total, verified in the physical plan) — the guard is free at scale.
+    Plan reality check (measured r04, was misdocumented in r03): the
+    candidate self-join probes this frame on both sides, but the join
+    predicate only reads bsz/bmin from side a, so Catalyst prunes the
+    window from side b — the two sides canonicalize differently and the
+    exchange is NOT reused (zero ReusedExchange in the executed plan,
+    AQE on).  The upstream shingling + md5 + signature groupBy therefore
+    runs once per side.
+
+    ``persist=True`` materializes the sized frame so that upstream runs
+    once: a few hundred bytes per (doc, band) row — ~0.5 TB of cluster
+    cache at 10^9 docs x 4 bands, far cheaper than re-shingling 100 TB of
+    text twice.  Default False: at bench scale (<= a few hundred MB of
+    text) the duplicated map work is cheaper than the cache
+    materialization + read-back (A/B measured 1.9s vs 2.2s at sf0.1), so
+    the knob belongs to the caller who knows the corpus size.
     """
     w = Window.partitionBy(*keys)
-    return melted.withColumn("bsz", F.count(F.lit(1)).over(w)).withColumn(
+    sized = melted.withColumn("bsz", F.count(F.lit(1)).over(w)).withColumn(
         "bmin", F.min("doc_id").over(w)
     )
+    return sized.persist() if persist else sized
 
 
 def _pair_guard(max_bucket: int):
@@ -102,7 +115,10 @@ def _pair_guard(max_bucket: int):
 
 
 def near_dup_pairs(
-    spark: SparkSession, sf_dir: str, max_bucket: int = LSH_MAX_BUCKET
+    spark: SparkSession,
+    sf_dir: str,
+    max_bucket: int = LSH_MAX_BUCKET,
+    persist_buckets: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate candidates: pairs sharing >= 2 of 4
     bands; est_jaccard = matched_bands / 4.
@@ -112,6 +128,9 @@ def near_dup_pairs(
     Buckets larger than ``max_bucket`` emit star edges from the bucket-min
     doc (see LSH_MAX_BUCKET): pair emission stays linear under mass-
     duplication skew while every member remains represented.
+    ``persist_buckets=True`` materializes the sized bucket frame so the
+    corpus is shingled once instead of once per join side — set it on
+    100 TB-class runs (see _sized_buckets for the measured trade).
     """
     sig = minhash_signatures(spark, sf_dir)
     # Melt to (doc_id, band, val) and self-join ONCE on the compound
@@ -126,6 +145,7 @@ def near_dup_pairs(
         ),
         "band",
         "val",
+        persist=persist_buckets,
     )
     bands = (
         melted.alias("a")
@@ -150,20 +170,25 @@ def near_dup_pairs(
 
 
 def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, max_bucket: int = LSH_MAX_BUCKET
+    spark: SparkSession,
+    sf_dir: str,
+    max_bucket: int = LSH_MAX_BUCKET,
+    persist_buckets: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard over LSH candidates (verify stage of the
     near-dup pipeline): |A ∩ B| / |A ∪ B| on distinct 3-gram shingle sets,
     computed only for pairs that share band 1 (blocking).  The same
     star-emission bucket cap as ``near_dup_pairs`` bounds the verify cost
-    under mass-duplication skew (see LSH_MAX_BUCKET)."""
+    under mass-duplication skew (see LSH_MAX_BUCKET); same
+    ``persist_buckets`` trade as near_dup_pairs (here the persisted frame
+    carries the shingle SETS, so 100 TB runs should prefer it even more)."""
     sh = (
         _shingles(spark, sf_dir)
         .select("doc_id", F.array_distinct("shingles").alias("sset"))
         .withColumn("n", F.size("sset"))
     )
     sig = minhash_signatures(spark, sf_dir).select("doc_id", "mh1")
-    s = _sized_buckets(sh.join(sig, "doc_id"), "mh1")
+    s = _sized_buckets(sh.join(sig, "doc_id"), "mh1", persist=persist_buckets)
     a, b = s.alias("a"), s.alias("b")
     pairs = a.join(b, F.col("a.mh1") == F.col("b.mh1")).filter(
         (F.col("a.doc_id") < F.col("b.doc_id")) & _pair_guard(max_bucket)

@@ -100,3 +100,17 @@ def test_ngram_jaccard_verify_stage_capped(spark, tmp_path):
     assert (cluster.jaccard == 1.0).all()
     small = jac[jac.doc_a >= 9000]
     assert len(small) == 3 and (small.jaccard == 1.0).all()
+
+
+def test_persist_buckets_identical_results(spark):
+    """persist_buckets only changes the physical plan (one shingling pass
+    vs one per join side) — never the emitted pair set."""
+    from kartograph_spark.datapipe import dedup
+
+    sf = "/root/testdata/sf0.001"
+    base = {tuple(r) for r in dedup.near_dup_pairs(spark, sf).collect()}
+    pers = {
+        tuple(r)
+        for r in dedup.near_dup_pairs(spark, sf, persist_buckets=True).collect()
+    }
+    assert base == pers
