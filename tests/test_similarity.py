@@ -76,3 +76,29 @@ def test_ivf_more_probes_widen_candidates(spark):
     p1 = set(map(tuple, one[["query_id", "neighbor_id"]].itertuples(index=False)))
     p2 = set(map(tuple, two[["query_id", "neighbor_id"]].itertuples(index=False)))
     assert p1 <= p2
+
+
+def test_centroid_ranks_contract(spark):
+    """Batched IVF assignment: equal cosines tie-break by cent_id asc,
+    non-query vectors emit exactly their crank=1 row, query vectors the
+    full top-n_probe list."""
+    import pandas as pd
+
+    from kartograph_spark.datapipe.similarity import centroid_ranks
+
+    # centroids are exact power-of-2 scalings of one another, so every
+    # cosine is BIT-identical (scaling by 2^k is exact through dot, sqrt
+    # and divide) -> a true floating-point tie on all three
+    rows = [(i, [1.0 * (i + 1), 2.0 * (i + 1)]) for i in range(6)]
+    e = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    cents = pd.DataFrame(
+        {"cent_id": [2, 0, 1], "cemb": [[4.0, 8.0], [1.0, 2.0], [2.0, 4.0]]}
+    )
+    got = centroid_ranks(e, cents, n_probe=2, n_queries=2).toPandas()
+    per_vec = got.groupby("vec_id").size().to_dict()
+    assert per_vec == {0: 2, 1: 2, 2: 1, 3: 1, 4: 1, 5: 1}
+    # ties resolve to the smallest cent_id, then the next
+    q0 = got[got["vec_id"] == 0].sort_values("crank")
+    assert list(q0["cent_id"]) == [0, 1]
+    assert list(q0["crank"]) == [1, 2]
+    assert set(got[got["crank"] == 1]["cent_id"]) == {0}
