@@ -83,6 +83,10 @@ def _kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _synth_corpus()
     key = (spark.sparkContext.applicationId, d)
     if key not in _PIPE_DF_CACHE:
+        # entries from earlier (stopped) sessions hold dead JVM handles —
+        # drop them so the cache never outgrows one session's worth
+        for stale in [k for k in _PIPE_DF_CACHE if k[0] != key[0]]:
+            _PIPE_DF_CACHE.pop(stale, None)
         transcripts = spark.read.parquet(f"{d}/transcripts.parquet")
         alias = spark.read.parquet(f"{d}/alias_dictionary.parquet")
         kept, _broken = build_triples(spark, transcripts, alias)
