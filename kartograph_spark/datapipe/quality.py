@@ -170,17 +170,22 @@ def source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id, md5 bucket, distinct NGRAM-gram set (docs shorter than
-    NGRAM tokens have no n-grams and drop out, both engines)."""
+    NGRAM tokens have no n-grams and drop out, both engines).
+
+    Grams are built by folding zip_with over NGRAM shifted slices —
+    per-element array indexing inside a transform lambda is interpreted
+    and re-walks the array per lookup (the dedup._shingles measurement:
+    ~5x slower), while zip_with streams all slices; and slices need no
+    ANSI out-of-bounds guards."""
     toks = _toks()
-    # total expression under ANSI mode: the sequence bound is clamped and
-    # the lookups are try_element_at, so short docs (pruned by the filter
-    # below) never trip out-of-bounds during common-subexpression eval
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - NGRAM, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.try_element_at(toks, i + k + 1) for k in range(NGRAM)]
-        ),
-    )
+    n_sh = F.size(toks) - (NGRAM - 1)  # gram count for docs passing the filter
+    grams = F.slice(toks, 1, n_sh)
+    for k in range(1, NGRAM):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, k + 1, n_sh),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     return (
         docs(spark, sf_dir)
         .filter(F.size(toks) >= NGRAM)
