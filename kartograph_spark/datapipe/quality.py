@@ -178,7 +178,11 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~5x slower), while zip_with streams all slices; and slices need no
     ANSI out-of-bounds guards."""
     toks = _toks()
-    n_sh = F.size(toks) - (NGRAM - 1)  # gram count for docs passing the filter
+    # gram count for docs passing the filter below; clamped at 0 because
+    # Spark may evaluate the projection on rows the filter later prunes
+    # (common-subexpression eval order is not guaranteed) and slice
+    # rejects negative lengths
+    n_sh = F.greatest(F.size(toks) - (NGRAM - 1), F.lit(0))
     grams = F.slice(toks, 1, n_sh)
     for k in range(1, NGRAM):
         grams = F.zip_with(
