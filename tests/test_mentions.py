@@ -262,3 +262,58 @@ def test_cross_turn_anchors_grouped(spark):
     default = extract_mentions(df).toPandas()
     dverb = default[default["pred"] == "usesTool"].set_index("urn")
     assert pd.isna(dverb.loc["urn:Tool:vault", "subj_urn"])  # within-turn only
+
+
+def test_combined_scan_equals_independent_scans_property():
+    """Load-bearing invariant behind oracle parity: the single combined
+    alternation scan emits exactly what independent per-pattern scans
+    would, for any interleaving of URNs (space-free ids, per the URN
+    grammar models.py:41-54), verb phrases (all 10 kinds), pattern-class
+    tokens and noise.  Hypothesis drives random fragment interleavings."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kartograph_spark import rules
+
+    urns = st.sampled_from(
+        ["<urn:Application:pay-svc>", "<urn:Namespace:kube_system>",
+         "<urn:Service:api.v2>", "<urn:service:x_1>"]
+    )
+    objs = st.sampled_from(["Prometheus", "K8s-v2", "Go", "C++", "Stripe.io"])
+    teams = st.sampled_from(["Platform", "Core Infra", "Data-Eng Ops"])
+    verb = st.one_of(
+        st.tuples(st.sampled_from(
+            ["uses", "deployed via", "backed by", "written in",
+             "integrates with", "calls", "monitored via", "owned by"]
+        ), objs).map(lambda t: f"{t[0]} {t[1]}"),
+        st.tuples(st.sampled_from(["maintained by", "developed by"]), teams)
+        .map(lambda t: f"{t[0]} the {t[1]} team"),
+        # near-miss noise: lowercase objects / missing ' team' suffix /
+        # capitalized verb literals never match
+        st.sampled_from(
+            ["uses docker", "Uses Docker", "maintained by the Big Team",
+             "owned by ops", "calls for help", "plain prose words"]
+        ),
+    )
+    frags = st.lists(st.one_of(urns, verb), min_size=0, max_size=8)
+
+    @settings(max_examples=200, deadline=None)
+    @given(frags)
+    def check(parts):
+        text = " and ".join(parts)
+        cm = list(re.finditer(rules.COMBINED_POSITION_RE, text))
+        for kind, pat, _pred, _etype in rules.VERB_PATTERNS:
+            independent = [m.group(1) for m in re.finditer(pat, text)]
+            combined = [m.group(kind) for m in cm if m.group(kind) is not None]
+            assert combined == independent, (kind, text)
+        urn_ind = [m.groups() for m in re.finditer(rules.URN_MENTION_RE, text)]
+        urn_comb = [
+            (m.group("urn_t"), m.group("urn_i"))
+            for m in cm
+            if m.group("urn_t") is not None
+        ]
+        assert urn_comb == urn_ind, text
+
+    check()
