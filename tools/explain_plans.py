@@ -63,13 +63,29 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
 
+    def approx_two_hop(spark, sf):
+        """Production (non-driver) variant: HLL + hub-capped wedge join —
+        audited here so the cap's plan shape is on record alongside the
+        exact oracle form."""
+        from pyspark.sql import functions as F
+
+        from kartograph_spark.components import two_hop_reach_approx
+
+        t = entry_mod._kg_pipeline_triples(spark, sf).filter(F.col("obj_is_ref"))
+        return two_hop_reach_approx(
+            t.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        )
+
+    queries = dict(entry_mod.queries())
+    queries["kg_two_hop_reach_approx (production variant)"] = approx_two_hop
+
     lines = []
-    for name, fn in entry_mod.queries().items():
+    for name, fn in queries.items():
         try:
             text = plan_text(fn(spark, sf_dir))
         except Exception as e:  # plan-only failures should be visible
             text = f"EXPLAIN FAILED: {e}"
-        with open(os.path.join(out_dir, f"{name}.txt"), "w") as f:
+        with open(os.path.join(out_dir, f"{name.split(' ')[0]}.txt"), "w") as f:
             f.write(text)
         lines.append(summarize(name, text))
 
