@@ -1593,11 +1593,17 @@ SELECT * FROM (
         + _COSINE_CTE
         + ", "
         + _lsh_band_cte()
-        + """
+        + f"""
+, bbsz AS (
+    SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz,
+           min(vec_id) OVER (PARTITION BY band, bucket) AS bmin
+    FROM bb
+)
 , cand AS (
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-    FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
-                       AND a.vec_id < b.vec_id
+    FROM bbsz a JOIN bbsz b ON a.band = b.band AND a.bucket = b.bucket
+                           AND a.vec_id < b.vec_id
+    WHERE a.bsz <= {dedup.LSH_MAX_BUCKET} OR a.vec_id = a.bmin
 )
 SELECT * FROM (
     SELECT c.vec_a, c.vec_b,

@@ -79,7 +79,9 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def _sized_buckets(melted: DataFrame, *keys: str, persist: bool = False) -> DataFrame:
+def _sized_buckets(
+    melted: DataFrame, *keys: str, id_col: str = "doc_id", persist: bool = False
+) -> DataFrame:
     """Attach per-bucket size + min doc over the LSH key columns.
 
     Plan reality check (measured r04, was misdocumented in r03): the
@@ -100,17 +102,17 @@ def _sized_buckets(melted: DataFrame, *keys: str, persist: bool = False) -> Data
     """
     w = Window.partitionBy(*keys)
     sized = melted.withColumn("bsz", F.count(F.lit(1)).over(w)).withColumn(
-        "bmin", F.min("doc_id").over(w)
+        "bmin", F.min(id_col).over(w)
     )
     return sized.persist() if persist else sized
 
 
-def _pair_guard(max_bucket: int):
+def _pair_guard(max_bucket: int, id_col: str = "doc_id"):
     """Join-side filter implementing the star-emission bucket cap: small
     buckets emit all a<b pairs; oversized buckets only pairs anchored at
     the bucket-min doc (bsz/bmin are identical on both join sides)."""
     return (F.col("a.bsz") <= max_bucket) | (
-        F.col("a.doc_id") == F.col("a.bmin")
+        F.col(f"a.{id_col}") == F.col("a.bmin")
     )
 
 
@@ -208,6 +210,8 @@ def embedding_neardup(
     threshold: float = 0.35,
     n_planes: int | None = None,
     n_bands: int | None = None,
+    max_bucket: int = LSH_MAX_BUCKET,
+    persist_buckets: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs over the ``embeddings`` table.
 
@@ -218,6 +222,20 @@ def embedding_neardup(
     the expected bucket stays constant-size (bucket-cardinality math in
     the similarity module docstring); defaults pin the formula's value at
     the graded sf0.01 scale.
+
+    Corpus-scaled plane counts keep the EXPECTED bucket constant, but
+    mass duplication (k identical/near-identical embeddings — zero-ish
+    vectors from empty docs, boilerplate) puts all k into the same bucket
+    in EVERY band regardless of plane count, so the within-bucket join
+    would emit O(k^2 * bands) pairs (k = 10^6 -> 10^12 rows).  The same
+    star-emission bucket cap as the MinHash path applies here on the
+    (band, bucket) key: oversized buckets only emit pairs anchored at the
+    bucket-min vector — emission is linear in bucket size, every member
+    still appears in >= 1 pair (connected-components consumers see the
+    same clusters), and the switch is a deterministic window count the
+    DuckDB oracle mirrors bit-for-bit.  ``persist_buckets`` has the same
+    trade as near_dup_pairs (the banded_buckets Arrow pass runs once
+    instead of once per join side).
     """
     from kartograph_spark.datapipe import similarity as sim
 
@@ -226,18 +244,26 @@ def embedding_neardup(
         n_bands or sim.DEFAULT_N_BANDS,
         sim.resolve_n_planes(spark, sf_dir, n_planes),
     )
-    e = sim.banded_buckets(base, M)
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"),
-        "band", "bucket",
-    )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"),
-        "band", "bucket",
+    e = _sized_buckets(
+        sim.banded_buckets(base, M),
+        "band",
+        "bucket",
+        id_col="vec_id",
+        persist=persist_buckets,
     )
     pairs = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        e.alias("a")
+        .join(e.alias("b"), ["band", "bucket"])
+        .filter(
+            (F.col("a.vec_id") < F.col("b.vec_id"))
+            & _pair_guard(max_bucket, id_col="vec_id")
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.emb").alias("emb_a"),
+            F.col("b.emb").alias("emb_b"),
+        )
         .dropDuplicates(["vec_a", "vec_b"])
     )
     cos = sim._cosine(F.col("emb_a"), F.col("emb_b"))

@@ -139,10 +139,18 @@ def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + groupBy twin.  Outputs are bit-identical either way, so the
     switch threshold never changes results — only the physical plan.
     """
+    # NULL text must route down the HOF branch explicitly: size(NULL) is
+    # NULL, which fails BOTH length predicates and would silently drop
+    # the row — a row-count divergence vs the single-projection oracle on
+    # corpora that carry null text (the HOF branch emits one null-metrics
+    # row for it, same as the pre-split projection did).
     d = docs(spark, sf_dir).select(
         "doc_id", F.split(F.col("text"), " ").alias("toks")
     )
-    short = d.filter(F.size("toks") <= REPETITION_EXPLODE_MIN_TOKENS)
+    short = d.filter(
+        (F.size("toks") <= REPETITION_EXPLODE_MIN_TOKENS)
+        | F.col("toks").isNull()
+    )
     long = d.filter(F.size("toks") > REPETITION_EXPLODE_MIN_TOKENS)
     return _repetition_hof(short).unionByName(_repetition_exploded(long))
 

@@ -264,6 +264,13 @@ def centroid_ranks(
     """
     import numpy as np
 
+    out_schema = "vec_id long, emb array<double>, cent_id long, crank int"
+    if len(cents) == 0:
+        # empty quantizer (empty embeddings table): degrade to zero rows
+        # of the declared schema instead of np.stack raising on an empty
+        # frame — matches the graceful empty-join the crossJoin form had
+        return e.sparkSession.createDataFrame([], out_schema)
+
     cents = cents.sort_values("cent_id").reset_index(drop=True)
     C = np.stack(cents["cemb"].to_numpy()).astype(np.float64)  # (K, dim)
     cent_ids = cents["cent_id"].to_numpy().astype(np.int64)
@@ -306,9 +313,7 @@ def centroid_ranks(
                     }
                 )
 
-    return e.select("vec_id", "emb").mapInPandas(
-        gen, schema="vec_id long, emb array<double>, cent_id long, crank int"
-    )
+    return e.select("vec_id", "emb").mapInPandas(gen, schema=out_schema)
 
 
 def resolve_n_centroids(n_vectors: int) -> int:

@@ -114,3 +114,73 @@ def test_persist_buckets_identical_results(spark):
         for r in dedup.near_dup_pairs(spark, sf, persist_buckets=True).collect()
     }
     assert base == pers
+
+
+# --------------------------------------------------------------------------
+# embedding_neardup: the same skew class, on the (band, bucket) LSH key
+# --------------------------------------------------------------------------
+
+EMB_CLUSTER = 400  # >> LSH_MAX_BUCKET(64); all-pairs would be ~80k rows/band
+
+
+def _write_embeddings(tmp_path) -> str:
+    import numpy as np
+
+    from kartograph_spark.datapipe import similarity as sim
+
+    rng = np.random.default_rng(7)
+    v_cluster = rng.normal(size=sim.EMBED_DIM)
+    v_small = rng.normal(size=sim.EMBED_DIM)
+    rows = []
+    # mass-duplicated vector: every band puts all EMB_CLUSTER copies in
+    # ONE bucket no matter how many planes — the uncapped join would emit
+    # O(k^2 * bands) pairs
+    for i in range(EMB_CLUSTER):
+        rows.append({"vec_id": i, "embedding": v_cluster.astype("float32"), "label": 0})
+    # a small identical group (3 < cap: all-pairs behavior must survive)
+    for i in range(3):
+        rows.append({"vec_id": 9000 + i, "embedding": v_small.astype("float32"), "label": 1})
+    # distinct random singletons (near-orthogonal, below the 0.35 threshold)
+    for i in range(5):
+        rows.append(
+            {
+                "vec_id": 9500 + i,
+                "embedding": rng.normal(size=sim.EMBED_DIM).astype("float32"),
+                "label": 2,
+            }
+        )
+    pd.DataFrame(rows).to_parquet(tmp_path / "embeddings.parquet")
+    return str(tmp_path)
+
+
+def test_embedding_bucket_cap_bounds_skewed_cluster(spark, tmp_path):
+    sf = _write_embeddings(tmp_path)
+    pairs = dedup.embedding_neardup(spark, sf).toPandas()
+
+    cluster = pairs[(pairs.vec_a < EMB_CLUSTER) & (pairs.vec_b < EMB_CLUSTER)]
+    # star emission: k-1 pairs anchored at the bucket-min vector
+    assert len(cluster) == EMB_CLUSTER - 1
+    assert (cluster.vec_a == 0).all()
+    assert set(cluster.vec_b) == set(range(1, EMB_CLUSTER))
+    assert (cluster.cosine == 1.0).all()
+
+    # sub-cap identical group keeps full all-pairs emission
+    small = pairs[(pairs.vec_a >= 9000) & (pairs.vec_b < 9500)]
+    assert sorted(map(tuple, small[["vec_a", "vec_b"]].to_numpy())) == [
+        (9000, 9001),
+        (9000, 9002),
+        (9001, 9002),
+    ]
+    assert (small.cosine == 1.0).all()
+
+
+def test_embedding_cap_preserves_connected_components(spark, tmp_path):
+    sf = _write_embeddings(tmp_path)
+    edges = dedup.embedding_neardup(spark, sf).select(
+        F.col("vec_a").cast("string").alias("src"),
+        F.col("vec_b").cast("string").alias("dst"),
+    )
+    cm = canonical_map(edges).toPandas()
+    got = dict(zip(cm.member_urn, cm.canonical_urn))
+    assert {got[str(i)] for i in range(1, EMB_CLUSTER)} == {"0"}
+    assert got["9001"] == "9000" and got["9002"] == "9000"

@@ -102,3 +102,40 @@ def test_centroid_ranks_contract(spark):
     assert list(q0["cent_id"]) == [0, 1]
     assert list(q0["crank"]) == [1, 2]
     assert set(got[got["crank"] == 1]["cent_id"]) == {0}
+
+
+def test_ivf_empty_embedding_table(spark, tmp_path):
+    """Empty embeddings table: centroid_ranks (and ann_ivf) degrade to an
+    empty result of the declared schema instead of np.stack raising."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [("vec_id", pa.int64()),
+         ("embedding", pa.list_(pa.float32())),
+         ("label", pa.int64())]
+    )
+    pq.write_table(
+        pa.Table.from_arrays(
+            [pa.array([], t.type) for t in schema], schema=schema
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    out = sim.ann_ivf(spark, str(tmp_path), n_centroids=None).toPandas()
+    assert len(out) == 0
+    assert list(out.columns) == ["query_id", "neighbor_id", "rank", "cosine"]
+
+
+def test_repetition_metrics_null_text(spark, tmp_path):
+    """Docs with NULL text still emit one row (null metrics), not zero."""
+    import pandas as pd
+
+    from kartograph_spark.datapipe import quality as q
+
+    pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["a b a", None],
+         "n_chars": [5, 0], "lang": ["en", "en"]}
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = q.repetition_metrics(spark, str(tmp_path)).toPandas()
+    assert len(out) == 2
+    assert set(out.doc_id) == {1, 2}
