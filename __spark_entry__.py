@@ -133,6 +133,33 @@ def _kg_entity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_entity_edges_medium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIUM-confidence tier (docs/PROCESS.md:2149-2156): indirect
+    mentions ("running on X", "in the production environment") extract
+    the entity but the relationship is review-flagged, never auto-edged
+    (validation.review_flags / triples.mention_triples branch on the
+    confidence column).  This query surfaces exactly those withheld
+    relationships pre-canonicalization — same shape as kg_entity_edges,
+    same combined-scan + anchor-window oracle, classification arms from
+    MEDIUM_PATTERNS."""
+    from kartograph_spark import rules
+    from kartograph_spark.extraction.mentions import extract_mentions
+
+    d = _synth_corpus()
+    tr = spark.read.parquet(f"{d}/transcripts.parquet")
+    med_kinds = [k for k, *_ in rules.MEDIUM_PATTERNS]
+    return extract_mentions(tr).filter(F.col("kind").isin(med_kinds)).select(
+        "conv_id",
+        "turn_idx",
+        F.coalesce(
+            "subj_urn", F.concat(F.lit("urn:Conversation:"), F.col("conv_id"))
+        ).alias("subj"),
+        "pred",
+        F.col("urn").alias("obj"),
+        "match_idx",
+    )
+
+
 #: committed reference-shaped JSON-LD fixture exercising every branch of
 #: the conversion contract (load_dgraph.py:272-349)
 _JSONLD_FIXTURE = os.path.join(
@@ -327,6 +354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_transcript_mentions": _kg_transcript_mentions,
         "kg_entity_edges": _kg_entity_edges,
         "kg_entity_edges_xturn": _kg_entity_edges_xturn,
+        "kg_entity_edges_medium": _kg_entity_edges_medium,
         "kg_jsonld_conversion": _kg_jsonld_conversion,
         "kg_jsonld_graph_validation": _kg_jsonld_graph_validation,
         "kg_pii_scrub": _kg_pii_scrub,
@@ -975,7 +1003,7 @@ def _pipeline_oracle_sql(path: str) -> str:
     from kartograph_spark import rules
 
     kind_arms, obj_arms, pred_arms, etype_arms, rank_arms = [], [], [], [], []
-    for kind, pat, pred, etype in rules.VERB_PATTERNS:
+    for kind, pat, pred, etype in rules.ALL_PATTERNS:
         lit = pat.split("(", 1)[0].replace("\\b", "")
         p = pat.replace("'", "''")
         kind_arms.append(f"WHEN mtxt LIKE '{lit}%' THEN '{kind}'")
@@ -984,6 +1012,7 @@ def _pipeline_oracle_sql(path: str) -> str:
         etype_arms.append(f"WHEN '{kind}' THEN '{etype}'")
     for k, r in rules.KIND_RANK.items():
         rank_arms.append(f"WHEN '{k}' THEN {r}")
+    med_list = ", ".join(f"'{k}'" for k in sorted(rules.MEDIUM_KINDS))
     comb = rules.COMBINED_POSITION_RE_SQL.replace("'", "''")
     email_re = rules.EMAIL_RE.replace("'", "''")
     url_re = rules.URL_RE.replace("'", "''")
@@ -1034,14 +1063,16 @@ m_urn AS (
            regexp_extract(mtxt, '<urn:([^:]+):([^>]+)>', 1) AS entity_type,
            replace(replace(regexp_extract(mtxt, '<urn:([^:]+):([^>]+)>', 2),
                            '-', ' '), '_', ' ') AS name,
-           'mentions' AS pred, CAST(NULL AS VARCHAR) AS subj_urn
+           'mentions' AS pred, CAST(NULL AS VARCHAR) AS subj_urn,
+           'HIGH' AS confidence
     FROM anch WHERE kind = 'urn'
 ),
 m_verb AS (
     SELECT conv_id, turn_idx, kind,
            CASE kind {' '.join(rank_arms)} END AS kind_rank, match_idx,
            'urn:' || etype || ':' || {slug} AS urn,
-           etype AS entity_type, obj_name AS name, pred, anchor AS subj_urn
+           etype AS entity_type, obj_name AS name, pred, anchor AS subj_urn,
+           CASE WHEN kind IN ({med_list}) THEN 'MEDIUM' ELSE 'HIGH' END AS confidence
     FROM (
         SELECT *,
                CASE kind {' '.join(pred_arms)} END AS pred,
@@ -1056,7 +1087,8 @@ m_email AS (
            'urn:EmailAddress:' || lower(unnest(regexp_extract_all(text, '{email_re}', 0))) AS urn,
            'EmailAddress' AS entity_type,
            unnest(regexp_extract_all(text, '{email_re}', 0)) AS name,
-           'mentions' AS pred, CAST(NULL AS VARCHAR) AS subj_urn
+           'mentions' AS pred, CAST(NULL AS VARCHAR) AS subj_urn,
+           'HIGH' AS confidence
     FROM tr
 ),
 m_url AS (
@@ -1065,7 +1097,8 @@ m_url AS (
            'urn:CodeRepository:' || unnest(regexp_extract_all(text, '{url_re}', 0)) AS urn,
            'CodeRepository' AS entity_type,
            unnest(regexp_extract_all(text, '{url_re}', 0)) AS name,
-           'mentions' AS pred, CAST(NULL AS VARCHAR) AS subj_urn
+           'mentions' AS pred, CAST(NULL AS VARCHAR) AS subj_urn,
+           'HIGH' AS confidence
     FROM tr
 ),
 m_slack AS (
@@ -1074,7 +1107,8 @@ m_slack AS (
            'urn:SlackChannel:' || unnest(regexp_extract_all(text, '{slack_re}', 1)) AS urn,
            'SlackChannel' AS entity_type,
            unnest(regexp_extract_all(text, '{slack_re}', 1)) AS name,
-           'mentions' AS pred, CAST(NULL AS VARCHAR) AS subj_urn
+           'mentions' AS pred, CAST(NULL AS VARCHAR) AS subj_urn,
+           'HIGH' AS confidence
     FROM tr
 ),
 m_all AS (
@@ -1142,7 +1176,8 @@ typed AS MATERIALIZED (
            CASE WHEN sn.canonical_type IS NOT NULL
                 THEN 'urn:' || sn.canonical_type || ':'
                      || regexp_replace(m.subj_urn, '^urn:[^:]*:', '')
-                ELSE m.subj_urn END AS subj_urn
+                ELSE m.subj_urn END AS subj_urn,
+           m.confidence
     FROM mded m
     LEFT JOIN tnorm n ON m.entity_type = n.entity_type
     LEFT JOIN tnorm sn
@@ -1187,7 +1222,8 @@ rewritten AS (
     SELECT t.conv_id, t.turn_idx, t.kind, t.kind_rank, t.match_idx,
            coalesce(c1.canonical, t.urn) AS urn,
            t.entity_type, t.name, t.pred,
-           coalesce(c2.canonical, t.subj_urn) AS subj_urn
+           coalesce(c2.canonical, t.subj_urn) AS subj_urn,
+           t.confidence
     FROM typed t
     LEFT JOIN cmap c1 ON t.urn = c1.member_urn
     LEFT JOIN cmap c2 ON t.subj_urn = c2.member_urn
@@ -1199,14 +1235,18 @@ dmeta AS (
 mfinal AS MATERIALIZED (
     SELECT r.conv_id, r.turn_idx, r.kind_rank, r.match_idx, r.urn,
            coalesce(d.dt, r.entity_type) AS entity_type,
-           coalesce(d.dn, r.name) AS name, r.pred, r.subj_urn
+           coalesce(d.dn, r.name) AS name, r.pred, r.subj_urn,
+           r.kind, r.confidence
     FROM rewritten r LEFT JOIN dmeta d ON r.urn = d.urn
 ),
 
 -- triple emission (mention edges + node records + conversation scalars)
 t_mention AS (
-    SELECT coalesce(subj_urn, 'urn:Conversation:' || conv_id) AS subj,
-           pred, urn AS obj, TRUE AS obj_is_ref, 'uid' AS dtype,
+    SELECT CASE WHEN confidence = 'MEDIUM' THEN 'urn:Conversation:' || conv_id
+                ELSE coalesce(subj_urn, 'urn:Conversation:' || conv_id)
+           END AS subj,
+           CASE WHEN confidence = 'MEDIUM' THEN 'mentions' ELSE pred END AS pred,
+           urn AS obj, TRUE AS obj_is_ref, 'uid' AS dtype,
            conv_id, turn_idx, kind_rank, match_idx
     FROM mfinal
     UNION ALL
@@ -1336,16 +1376,27 @@ FROM d WHERE rn = 1
 """
 
     # per-kind arms generated from the SAME rule table the engine uses
-    kind_arms, obj_arms, pred_arms, etype_arms = [], [], [], []
-    for kind, pat, pred, etype in rules.VERB_PATTERNS:
-        lit = pat.split("(", 1)[0].replace("\\b", "")
-        kind_arms.append(f"WHEN mtxt LIKE '{lit}%' THEN '{kind}'")
-        obj_arms.append(f"WHEN '{kind}' THEN regexp_extract(mtxt, '{pat}', 1)")
-        pred_arms.append(f"WHEN '{kind}' THEN '{pred}'")
-        etype_arms.append(f"WHEN '{kind}' THEN '{etype}'")
     comb = rules.COMBINED_POSITION_RE_SQL
 
-    def edges_sql(anchor_window: str) -> str:
+    def _arms(patterns):
+        kind_arms, obj_arms, pred_arms, etype_arms = [], [], [], []
+        for kind, pat, pred, etype in patterns:
+            lit = pat.split("(", 1)[0].replace("\\b", "")
+            kind_arms.append(f"WHEN mtxt LIKE '{lit}%' THEN '{kind}'")
+            obj_arms.append(
+                f"WHEN '{kind}' THEN regexp_extract(mtxt, '{pat}', 1)"
+            )
+            pred_arms.append(f"WHEN '{kind}' THEN '{pred}'")
+            etype_arms.append(f"WHEN '{kind}' THEN '{etype}'")
+        return kind_arms, obj_arms, pred_arms, etype_arms
+
+    def edges_sql(anchor_window: str, patterns=rules.VERB_PATTERNS) -> str:
+        # the combined scan always sees every pattern family (mtxt spans
+        # come from COMBINED_POSITION_RE_SQL); classification arms cover
+        # only the requested tier, so the other tier's matches classify
+        # to NULL kind and drop out of the verbs CTE — exactly the
+        # per-tier filter the Spark side applies with kind.isin(...)
+        kind_arms, obj_arms, pred_arms, etype_arms = _arms(patterns)
         return f"""
 WITH {tr_cte},
 seq AS MATERIALIZED (
@@ -1404,6 +1455,10 @@ FROM dd WHERE rn = 1
         ),
         "kg_entity_edges_xturn": edges_sql(
             "PARTITION BY conv_id ORDER BY turn_idx, cpos"
+        ),
+        "kg_entity_edges_medium": edges_sql(
+            "PARTITION BY conv_id, turn_idx ORDER BY cpos",
+            rules.MEDIUM_PATTERNS,
         ),
         "kg_pii_scrub": _pii_scrub_sql(path),
         "kg_pipeline_synthetic": _pipeline_oracle_sql(path),

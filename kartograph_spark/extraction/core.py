@@ -47,6 +47,7 @@ MENTION_COLUMNS = [
     "pred",
     "surface",
     "subj_urn",
+    "confidence",
 ]
 
 
@@ -65,6 +66,7 @@ def _empty() -> pd.DataFrame:
             "pred": pd.Series(dtype="object"),
             "surface": pd.Series(dtype="object"),
             "subj_urn": pd.Series(dtype="object"),
+            "confidence": pd.Series(dtype="object"),
         }
     )
 
@@ -149,9 +151,10 @@ def extract_mentions_block(
             d["pred"] = rules.MENTIONS_PRED
             d["surface"] = "<" + d["urn"] + ">"
             d["subj_urn"] = None
+            d["confidence"] = "HIGH"
             parts.append(d)
 
-        for kind, _pat, _pred, _etype in rules.VERB_PATTERNS:
+        for kind, _pat, _pred, _etype in rules.ALL_PATTERNS:
             vk = c[c[kind].notna()]
             if len(vk):
                 verb_rows[kind] = vk
@@ -181,11 +184,16 @@ def extract_mentions_block(
         d["urn"] = "urn:" + etype + ":" + d["ident"]
         d["pred"] = pred
         d["subj_urn"] = None
+        d["confidence"] = "HIGH"
         parts.append(d)
 
-    # Free-text verb patterns (PROCESS.md:2123-2199) from the combined
-    # scan; subj_urn = nearest preceding E1 anchor in the turn (or None).
-    for kind, _pat, pred, etype in rules.VERB_PATTERNS:
+    # Free-text verb patterns from the combined scan; subj_urn = nearest
+    # preceding E1 anchor in the turn (or None).  HIGH tier
+    # (PROCESS.md:2123-2199, 2211-2218): auto relationship.  MEDIUM tier
+    # (PROCESS.md:2149-2156): entity extracted, relationship review-
+    # flagged downstream (triples.mention_triples / validation.review_flags
+    # branch on the confidence column).
+    for kind, _pat, pred, etype in rules.ALL_PATTERNS:
         vk = verb_rows.get(kind)
         if vk is None:
             continue
@@ -206,6 +214,7 @@ def extract_mentions_block(
         d["entity_type"] = etype
         d["urn"] = "urn:" + etype + ":" + d["ident"]
         d["pred"] = pred
+        d["confidence"] = "MEDIUM" if kind in rules.MEDIUM_KINDS else "HIGH"
         parts.append(d)
 
     if not parts:

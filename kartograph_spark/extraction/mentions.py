@@ -42,6 +42,7 @@ MENTION_SCHEMA = T.StructType(
         T.StructField("pred", T.StringType()),
         T.StructField("surface", T.StringType()),
         T.StructField("subj_urn", T.StringType()),
+        T.StructField("confidence", T.StringType()),
     ]
 )
 

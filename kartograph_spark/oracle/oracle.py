@@ -157,14 +157,20 @@ def oracle_triples(
 
     parts: list[pd.DataFrame] = []
     # edges: verb mentions hang off their attributed entity anchor,
-    # everything else off the Conversation subject
+    # everything else off the Conversation subject.  MEDIUM-confidence
+    # rows (PROCESS.md:2149-2156) get a plain `mentions` edge from the
+    # Conversation instead of the flagged relationship — the relationship
+    # itself lives in oracle_review_flags.
+    med = mentions["confidence"].eq("MEDIUM")
+    edge_subj = mentions["subj_urn"].fillna(
+        "urn:Conversation:" + mentions["conv_id"]
+    ).mask(med, "urn:Conversation:" + mentions["conv_id"])
+    edge_pred = rules.clean_predicate(mentions["pred"]).mask(med, "mentions")
     parts.append(
         pd.DataFrame(
             {
-                "subj": mentions["subj_urn"].fillna(
-                    "urn:Conversation:" + mentions["conv_id"]
-                ),
-                "pred": rules.clean_predicate(mentions["pred"]),
+                "subj": edge_subj,
+                "pred": edge_pred,
                 "obj": mentions["urn"],
                 "obj_is_ref": True,
                 "dtype": "uid",
@@ -276,6 +282,31 @@ def oracle_triples(
     return allt[
         ["subj", "pred", "obj", "obj_is_ref", "dtype", "conv_id", "turn_idx"]
     ].reset_index(drop=True)
+
+
+def oracle_review_flags(
+    transcripts: pd.DataFrame,
+    alias_dict: pd.DataFrame,
+    confidence_threshold: float = 0.85,
+) -> pd.DataFrame:
+    """Pandas twin of validation.review_flags over canonicalized mentions:
+    the withheld MEDIUM-tier relationships (PROCESS.md:2149-2156)."""
+    m = oracle_canonicalize(
+        oracle_mentions(transcripts), alias_dict, confidence_threshold
+    )
+    m = m[m["confidence"].eq("MEDIUM")]
+    return pd.DataFrame(
+        {
+            "conv_id": m["conv_id"],
+            "turn_idx": m["turn_idx"].astype("int64"),
+            "kind": m["kind"],
+            "subj": m["subj_urn"].fillna("urn:Conversation:" + m["conv_id"]),
+            "pred": rules.clean_predicate(m["pred"]),
+            "obj": m["urn"],
+            "confidence": "MEDIUM",
+            "message": "indirect mention: relationship flagged for review",
+        }
+    ).reset_index(drop=True)
 
 
 def triple_prf(

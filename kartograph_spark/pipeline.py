@@ -203,7 +203,9 @@ def run_pipeline(
     orphans = val.find_orphans(kept)
     rec_errors = val.record_errors(canonical)
     errors = broken.unionByName(orphans).unionByName(rec_errors)
+    flags = val.review_flags(canonical)
 
+    store.write(flags, "review_flags")
     store.write(kept, "triples", partition_by=["pred"])
     triples_out = store.read("triples")
     store.write(build_nodes(triples_out), "graph_nodes", partition_by=["type"])
@@ -226,6 +228,7 @@ def run_pipeline(
         "triples": n_triples,
         "broken_refs": broken.count(),
         "orphans": orphans.count(),
+        "review_flags": store.read("review_flags").count(),
         "validation_errors": errors.count(),
         "duration_secs": round(dur, 3),
         "triples_per_sec": round(n_triples / dur, 1) if dur > 0 else None,

@@ -96,6 +96,60 @@ VERB_PATTERNS: list[tuple[str, str, str, str]] = [
     ),
 ]
 
+# MEDIUM-confidence tier (PROCESS.md:2149-2156): indirect / implied
+# mentions — "running on AWS" (implied infrastructure dependency),
+# "in the production environment" (contextual inference), dependency
+# phrasings without a direct integration verb.  Reference behavior:
+# EXTRACT THE ENTITY, FLAG THE RELATIONSHIP FOR REVIEW instead of
+# auto-creating the edge (vs the HIGH tier's automatic relationships,
+# PROCESS.md:2211-2218).  Same tuple shape as VERB_PATTERNS; the same
+# single-pass-scan invariants hold: every literal starts lowercase and
+# every object span is either a single uppercase-leading token, a fixed
+# lowercase keyword set, or a region id — none can contain a space, so
+# no verb literal fits inside an object span and the combined scan stays
+# equivalent to independent per-pattern scans.
+MEDIUM_PATTERNS: list[tuple[str, str, str, str]] = [
+    ("running_on", r"\brunning on ([A-Z][A-Za-z0-9_+.-]*)", "runsOn", "Platform"),
+    ("runs_on", r"\bruns on ([A-Z][A-Za-z0-9_+.-]*)", "runsOn", "Platform"),
+    (
+        "depends_on",
+        r"\bdepends on ([A-Z][A-Za-z0-9_+.-]*)",
+        "dependsOn",
+        "Service",
+    ),
+    (
+        "connects_to",
+        r"\bconnects to ([A-Z][A-Za-z0-9_+.-]*)",
+        "connectsTo",
+        "ExternalService",
+    ),
+    (
+        "stores_data_in",
+        r"\bstores data in ([A-Z][A-Za-z0-9_+.-]*)",
+        "storesDataIn",
+        "StorageService",
+    ),
+    (
+        "hosted_in",
+        r"\bhosted in ([a-z]{2}-[a-z]+-[0-9]+)",
+        "hostedIn",
+        "Region",
+    ),
+    (
+        "env_context",
+        r"\bin the (production|staging|development) environment",
+        "environment",
+        "Environment",
+    ),
+]
+
+#: kinds whose relationship is review-flagged, never auto-edged
+MEDIUM_KINDS = frozenset(k for k, *_ in MEDIUM_PATTERNS)
+
+#: every extractable pattern family, in scan-priority order
+ALL_PATTERNS: list[tuple[str, str, str, str]] = VERB_PATTERNS + MEDIUM_PATTERNS
+
+
 def combined_position_re() -> str:
     """One alternation regex over E1 URNs + all verb patterns, used to
     recover the interleaved document-order of anchors and relationship
@@ -115,7 +169,7 @@ def combined_position_re() -> str:
     import re as _re2
 
     parts = [r"<urn:(?P<urn_t>[^:]+):(?P<urn_i>[^>]+)>"]
-    for kind, pat, _pred, _etype in VERB_PATTERNS:
+    for kind, pat, _pred, _etype in ALL_PATTERNS:
         # name the (single) capture group after the kind
         parts.append(_re2.sub(r"\((?!\?)", f"(?P<{kind}>", pat, count=1))
     return "|".join(parts)
@@ -126,7 +180,7 @@ def combined_position_re_sql() -> str:
     import re as _re2
 
     parts = [r"<urn:[^:]+:[^>]+>"]
-    for _kind, pat, _pred, _etype in VERB_PATTERNS:
+    for _kind, pat, _pred, _etype in ALL_PATTERNS:
         parts.append(_re2.sub(r"\((?!\?)", "(?:", pat, count=1))
     return "|".join(parts)
 
@@ -158,7 +212,15 @@ KIND_RANK = {
     "calls": 10,
     "owned_by": 11,
     "developed_by": 12,
-    "monitored_via": 13,  # triples.py packs kind_rank in 4 bits: max is 14
+    "monitored_via": 13,
+    # MEDIUM tier (entity extracted, relationship review-flagged)
+    "running_on": 14,
+    "runs_on": 15,
+    "depends_on": 16,
+    "connects_to": 17,
+    "stores_data_in": 18,
+    "hosted_in": 19,
+    "env_context": 20,  # triples.py packs kind_rank in 5 bits: max is 30
 }
 
 # --------------------------------------------------------------------------

@@ -30,7 +30,11 @@ SEED = 42
 #: corpora from earlier generator versions are never silently reused.
 #: v3 = round 4, plants the full HIGH-confidence verb tier (integrates
 #: with / calls / owned by / developed by / monitored via).
-CORPUS_TAG = "v3"
+#: v4 = round 5, plants the MEDIUM-confidence indirect-mention tier
+#: (running on / runs on / depends on / connects to / stores data in /
+#: hosted in <region> / in the <env> environment) plus nested-adjacency
+#: fixtures mixing MEDIUM and HIGH phrases in one turn.
+CORPUS_TAG = "v4"
 
 SERVICES = ["Vault", "Hive", "Billing-API", "Checkout"]
 
@@ -119,6 +123,23 @@ def _build_text_pool(rng: np.random.Generator, n: int = 3000) -> list[str]:
         "Billing is owned by the Platform org, integrates with Stripe,"
         " and calls Checkout on every purchase."
     )
+    # MEDIUM-confidence indirect tier (PROCESS.md:2149-2156): entity
+    # extracted, relationship review-flagged — planted alongside HIGH
+    # phrases so the tiers interleave within single turns
+    add("The API is running on AWS and hosted in us-east-1 region.")
+    add("It runs on OpenShift in the production environment.")
+    add("The exporter depends on Kafka and connects to Splunk.")
+    add("Nightly job stores data in S3; alerts land in #data-eng.")
+    add(
+        "Service <urn:Application:payment-service> is running on AWS"
+        " but uses Prometheus for metrics."  # MEDIUM then HIGH, one anchor
+    )
+    add(
+        "The gateway runs on Kubernetes uses Docker team conventions."
+        # adjacent MEDIUM object then HIGH verb: single-token object spans
+        # must not swallow the following 'uses Docker' mention
+    )
+    add("Deployed by hand in the staging environment, hosted in eu-west-1 region.")
 
     # Templated filler
     tools = np.array(TOOLS)
@@ -153,6 +174,11 @@ def _build_text_pool(rng: np.random.Generator, n: int = 3000) -> list[str]:
         "It integrates with {tool} API and calls {svc} for data.",
         "The dashboard was developed by the {team} team; alerts in {slack}.",
         "Check <{urn}>: owned by {team}, calls {svc}, monitored via {tool} panels.",
+        # round-5 MEDIUM tier (indirect mentions -> review flags)
+        "The worker is running on {tool} and depends on {svc} at peak.",
+        "Replica set runs on {tool}, hosted in us-east-1 region.",
+        "Batch loader stores data in {db} and connects to {svc} nightly.",
+        "Check <{urn}>: running on {tool} in the production environment.",
     ]
     svcs = np.array(SERVICES)
     while len(pool) < n:

@@ -101,12 +101,21 @@ def mention_triples(mentions: DataFrame) -> DataFrame:
     # off extracted entities, load_dgraph.py:299-309), falling back to the
     # Conversation subject for plain mentions / anchorless verb mentions.
     edge_subj = F.coalesce(F.col("subj_urn"), conv_subject_col())
+    edge_pred = clean_predicate_col(F.col("pred"))
+    if "confidence" in mentions.columns:
+        # MEDIUM tier (PROCESS.md:2149-2156): the entity is extracted —
+        # node triples + a plain `mentions` edge from the Conversation —
+        # but the indirect relationship is NOT auto-created; it goes to
+        # the review_flags side table (validation.review_flags) instead.
+        is_med = F.col("confidence") == F.lit("MEDIUM")
+        edge_subj = F.when(is_med, conv_subject_col()).otherwise(edge_subj)
+        edge_pred = F.when(is_med, F.lit("mentions")).otherwise(edge_pred)
     exploded = mentions.select(
         F.explode(
             F.array(
                 trip(
                     edge_subj,
-                    clean_predicate_col(F.col("pred")),
+                    edge_pred,
                     F.col("urn"),
                     F.lit(True),
                     F.lit("uid"),
@@ -219,17 +228,18 @@ def dedup_first_occurrence(triples: DataFrame, keep: str = "first") -> DataFrame
     (string, long) instead of (string, long, long, long) — ~1/3 the sort
     and shuffle bytes of the corpus-sized aggregation.
     """
-    # the 4-bit kind_rank field (stride 1<<20 under the 1<<24 turn_idx
-    # stride) holds ranks -1..14 after the +1 offset — fail loudly if a
-    # new kind ever overflows it (would corrupt ordering + unpacking)
+    # the 5-bit kind_rank field (stride 1<<20 under the 1<<25 turn_idx
+    # stride) holds ranks -1..30 after the +1 offset — fail loudly if a
+    # new kind ever overflows it (would corrupt ordering + unpacking);
+    # turn_idx keeps 38 bits, far above any conversation length
     from kartograph_spark import rules as _rules
 
-    assert max(_rules.KIND_RANK.values()) < 15, "kind_rank overflows packed field"
+    assert max(_rules.KIND_RANK.values()) < 31, "kind_rank overflows packed field"
     if keep not in ("first", "last"):
         raise ValueError(f"unknown dedup keep strategy: {keep}")
     pick = F.min if keep == "first" else F.max
     packed = (
-        F.col("turn_idx") * F.lit(1 << 24)
+        F.col("turn_idx") * F.lit(1 << 25)
         + (F.col("kind_rank") + 1) * F.lit(1 << 20)
         + F.least(F.col("match_idx"), F.lit((1 << 20) - 1))
     )
@@ -244,7 +254,7 @@ def dedup_first_occurrence(triples: DataFrame, keep: str = "first") -> DataFrame
             "obj_is_ref",
             "dtype",
             F.col("prov.conv_id").alias("conv_id"),
-            F.shiftright(F.col("prov._pk"), 24).alias("turn_idx"),
+            F.shiftright(F.col("prov._pk"), 25).alias("turn_idx"),
         )
     )
 

@@ -102,6 +102,34 @@ def record_errors(mentions: DataFrame) -> DataFrame:
     return bad_urn.unionByName(bad_type).distinct()
 
 
+def review_flags(mentions: DataFrame) -> DataFrame:
+    """MEDIUM-confidence relationship flags (docs/PROCESS.md:2149-2156):
+    for indirect mentions ("running on X", "in the production
+    environment") the reference extracts the entity but FLAGS the
+    relationship for human review instead of auto-creating the edge.
+    The entity side (node triples + a plain ``mentions`` edge) is emitted
+    by triples.mention_triples; this side table carries the withheld
+    (subj, pred, obj) relationship with its provenance.
+
+    Input: (canonicalized) mentions carrying a ``confidence`` column.
+    Pure narrow filter + projection over the mention frame — no shuffle.
+    """
+    from kartograph_spark.triples import clean_predicate_col, conv_subject_col
+
+    return mentions.filter(F.col("confidence") == "MEDIUM").select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "kind",
+        F.coalesce(F.col("subj_urn"), conv_subject_col()).alias("subj"),
+        clean_predicate_col(F.col("pred")).alias("pred"),
+        F.col("urn").alias("obj"),
+        F.lit("MEDIUM").alias("confidence"),
+        F.lit("indirect mention: relationship flagged for review").alias(
+            "message"
+        ),
+    )
+
+
 def validation_summary(errors: DataFrame) -> DataFrame:
     """A8 rollup: counts by severity and field, distinct entities."""
     return errors.groupBy("severity", "field").agg(

@@ -43,6 +43,7 @@ def _mentions_df(spark, rows):
             r.get("pred", "usesTool"),
             r.get("surface", "x"),
             r.get("subj_urn"),
+            r.get("confidence", "HIGH"),
         )
         for r in rows
     ]

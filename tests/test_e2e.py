@@ -148,3 +148,33 @@ def test_report_sinks_written(pipeline_out):
         assert os.path.exists(p) and os.path.getsize(p) > 0, name
     md = open(os.path.join(out, "metrics.md")).read()
     assert f"- **Triples**: {metrics['triples']:,}" in md
+
+
+def test_review_flags_match_oracle(spark, pipeline_out, transcripts_pdf, alias_pdf):
+    """MEDIUM-tier relationships land in review_flags (not in the graph)
+    and match the pandas oracle exactly."""
+    from kartograph_spark.oracle.oracle import oracle_review_flags
+
+    out, metrics = pipeline_out
+    actual = spark.read.parquet(f"{out}/review_flags").toPandas()
+    expected = oracle_review_flags(transcripts_pdf, alias_pdf)
+    key = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    a = set(map(tuple, actual[key].itertuples(index=False)))
+    e = set(map(tuple, expected[key].itertuples(index=False)))
+    assert a == e
+    assert len(actual) > 0  # the corpus plants MEDIUM phrases
+    assert metrics["review_flags"] == len(actual)
+    # the flagged predicates never appear as graph edges
+    flagged_preds = set(actual["pred"])
+    triples = spark.read.parquet(f"{out}/triples").toPandas()
+    assert not (triples["pred"].isin(flagged_preds) & triples["obj_is_ref"]).any()
+    # but the flagged entities DO exist as nodes (entity extracted)
+    import pandas as pd
+
+    from kartograph_spark import rules
+
+    enc_objs = set(rules.encode_urn(actual["obj"].drop_duplicates()))
+    node_set = set(
+        triples.loc[triples["pred"] == "dgraph.type", "subj"]
+    )
+    assert enc_objs <= node_set

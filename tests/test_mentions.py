@@ -269,7 +269,10 @@ def test_combined_scan_equals_independent_scans_property():
     alternation scan emits exactly what independent per-pattern scans
     would, for any interleaving of URNs (space-free ids, per the URN
     grammar models.py:41-54), verb phrases (all 10 kinds), pattern-class
-    tokens and noise.  Hypothesis drives random fragment interleavings."""
+    tokens and noise — now including the MEDIUM indirect tier (running
+    on / runs on / depends on / connects to / stores data in / hosted in
+    <region> / in the <env> environment).  Hypothesis drives random
+    fragment interleavings."""
     import re
 
     from hypothesis import given, settings
@@ -296,6 +299,17 @@ def test_combined_scan_equals_independent_scans_property():
             ["uses docker", "Uses Docker", "maintained by the Big Team",
              "owned by ops", "calls for help", "plain prose words"]
         ),
+        # MEDIUM indirect tier fragments + near-miss noise
+        st.tuples(st.sampled_from(
+            ["running on", "runs on", "depends on", "connects to",
+             "stores data in"]
+        ), objs).map(lambda t: f"{t[0]} {t[1]}"),
+        st.sampled_from(
+            ["hosted in us-east-1 region", "hosted in eu-west-2",
+             "in the production environment", "in the staging environment",
+             "running on lowercase", "in the test environment",
+             "hosted in US-EAST-1"]
+        ),
     )
     frags = st.lists(st.one_of(urns, verb), min_size=0, max_size=8)
 
@@ -304,7 +318,7 @@ def test_combined_scan_equals_independent_scans_property():
     def check(parts):
         text = " and ".join(parts)
         cm = list(re.finditer(rules.COMBINED_POSITION_RE, text))
-        for kind, pat, _pred, _etype in rules.VERB_PATTERNS:
+        for kind, pat, _pred, _etype in rules.ALL_PATTERNS:
             independent = [m.group(1) for m in re.finditer(pat, text)]
             combined = [m.group(kind) for m in cm if m.group(kind) is not None]
             assert combined == independent, (kind, text)
@@ -317,3 +331,84 @@ def test_combined_scan_equals_independent_scans_property():
         assert urn_comb == urn_ind, text
 
     check()
+
+
+# --------------------------------------------------------------------------
+# MEDIUM-confidence indirect tier (PROCESS.md:2149-2156)
+# --------------------------------------------------------------------------
+
+
+def test_medium_tier_patterns():
+    """Each MEDIUM pattern extracts its entity with confidence=MEDIUM."""
+    out = extract_mentions_block(
+        _turns(
+            "The API is running on AWS today.",
+            "It runs on OpenShift now.",
+            "The exporter depends on Kafka heavily.",
+            "It connects to Splunk nightly.",
+            "The job stores data in S3 buckets.",
+            "It is hosted in us-east-1 region.",
+            "Deployed by hand in the production environment.",
+        )
+    )
+    med = out[out["confidence"] == "MEDIUM"].set_index("kind")
+    assert med.loc["running_on", "urn"] == "urn:Platform:aws"
+    assert med.loc["runs_on", "urn"] == "urn:Platform:openshift"
+    assert med.loc["depends_on", "urn"] == "urn:Service:kafka"
+    assert med.loc["connects_to", "urn"] == "urn:ExternalService:splunk"
+    assert med.loc["stores_data_in", "urn"] == "urn:StorageService:s3"
+    assert med.loc["hosted_in", "urn"] == "urn:Region:us-east-1"
+    assert med.loc["env_context", "urn"] == "urn:Environment:production"
+    assert med.loc["env_context", "pred"] == "environment"
+    # everything else in these turns is HIGH or plain
+    assert (out[out["confidence"] != "MEDIUM"]["confidence"] == "HIGH").all()
+
+
+def test_medium_near_misses_extract_nothing():
+    out = extract_mentions_block(
+        _turns(
+            "running on lowercase platforms is fine.",
+            "hosted in THE-CLOUD region.",
+            "in the test environment nothing matches.",
+            "it depends on good weather.",
+        )
+    )
+    assert len(out) == 0
+
+
+def test_high_verb_nested_after_medium_object_not_swallowed():
+    """'runs on Kubernetes uses Docker' — the MEDIUM single-token object
+    span must not swallow the adjacent HIGH verb mention."""
+    out = extract_mentions_block(
+        _turns("The gateway runs on Kubernetes uses Docker daily.")
+    )
+    kinds = dict(zip(out["kind"], out["urn"]))
+    assert kinds["runs_on"] == "urn:Platform:kubernetes"
+    assert kinds["uses"] == "urn:Tool:docker"
+    conf = dict(zip(out["kind"], out["confidence"]))
+    assert conf == {"runs_on": "MEDIUM", "uses": "HIGH"}
+
+
+def test_medium_nested_inside_high_team_span_not_swallowed():
+    """A MEDIUM phrase right after a multi-word HIGH object span: the
+    'maintained by ... team' span is lazily bounded, so the following
+    'running on AWS' survives as its own mention."""
+    out = extract_mentions_block(
+        _turns("maintained by the Core Infra team running on AWS now.")
+    )
+    kinds = dict(zip(out["kind"], out["urn"]))
+    assert kinds["maintained_by"] == "urn:Team:core-infra"
+    assert kinds["running_on"] == "urn:Platform:aws"
+
+
+def test_medium_subject_attribution_and_flag_fields():
+    """MEDIUM mentions attribute to the nearest preceding anchor like HIGH
+    verbs (the review flag needs the subject), and keep their flagged
+    predicate in the mention row."""
+    out = extract_mentions_block(
+        _turns("Service <urn:Application:pay> is running on AWS but uses Prometheus.")
+    )
+    med = out[out["kind"] == "running_on"].iloc[0]
+    assert med["subj_urn"] == "urn:Application:pay"
+    assert med["pred"] == "runsOn"
+    assert med["confidence"] == "MEDIUM"

@@ -48,9 +48,9 @@ def test_record_errors(spark):
     from kartograph_spark.extraction.mentions import MENTION_SCHEMA
 
     rows = [
-        ("c", 0, "urn", 0, 0, "urn:service:x", "service", "x", "x", "mentions", "s", None),
-        ("c", 0, "urn", 0, 1, "not-a-urn", "Service", "y", "y", "mentions", "s", None),
-        ("c", 0, "urn", 0, 2, "urn:Service:ok", "Service", "ok", "ok", "mentions", "s", None),
+        ("c", 0, "urn", 0, 0, "urn:service:x", "service", "x", "x", "mentions", "s", None, "HIGH"),
+        ("c", 0, "urn", 0, 1, "not-a-urn", "Service", "y", "y", "mentions", "s", None, "HIGH"),
+        ("c", 0, "urn", 0, 2, "urn:Service:ok", "Service", "ok", "ok", "mentions", "s", None, "HIGH"),
     ]
     df = spark.createDataFrame(rows, MENTION_SCHEMA)
     errs = val.record_errors(df).collect()
