@@ -84,9 +84,17 @@ def _kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, d)
     if key not in _PIPE_DF_CACHE:
         # entries from earlier (stopped) sessions hold dead JVM handles —
-        # drop them so the cache never outgrows one session's worth
+        # unpersist + drop them (and the graph operators' tracked
+        # intermediates) so cached blocks never outgrow one session
+        from kartograph_spark import components as _comp
+
         for stale in [k for k in _PIPE_DF_CACHE if k[0] != key[0]]:
-            _PIPE_DF_CACHE.pop(stale, None)
+            df = _PIPE_DF_CACHE.pop(stale, None)
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — session already stopped
+                pass
+        _comp.release_caches()
         transcripts = spark.read.parquet(f"{d}/transcripts.parquet")
         alias = spark.read.parquet(f"{d}/alias_dictionary.parquet")
         kept, _broken = build_triples(spark, transcripts, alias)
@@ -302,6 +310,31 @@ def _kg_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: synth-KG hub cap for kg_two_hop_reach_capped — small enough that the
+#: cap ENGAGES on the corpus's hot entities (hub degrees run into the
+#: dozens), so the driver hash-checks the capped semantics, not a no-op
+_TWO_HOP_DRIVER_CAP = 16
+
+
+def _kg_two_hop_reach_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production hub-cap semantics of the two-hop operator under an
+    EXACT distinct count (components.two_hop_reach_capped_exact): the
+    deterministic id-smallest-``cap`` neighbor truncation per middle node
+    — the same cap two_hop_reach_approx applies under HLL, here
+    oracle-expressible so the cap logic itself gets a hash-checked
+    CORRECTNESS row (the HLL form is pytest-pinned instead).  The Spark
+    side computes the cap via the tournament top-k (_capped_mid — no full
+    per-key sort); the oracle uses the plain window form, proving the two
+    formulations identical."""
+    from kartograph_spark.components import two_hop_reach_capped_exact
+
+    t = _kg_pipeline_triples(spark, sf_dir).filter(F.col("obj_is_ref"))
+    return two_hop_reach_capped_exact(
+        t.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        hub_cap=_TWO_HOP_DRIVER_CAP,
+    )
+
+
 def _rel_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window sessionization (one row per user session
     with span + event count) — the same gap semantics as
@@ -347,6 +380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pipeline_synthetic": _kg_pipeline_triples,
         "kg_triangle_count": _kg_triangle_count,
         "kg_two_hop_reach": _kg_two_hop_reach,
+        "kg_two_hop_reach_capped": _kg_two_hop_reach_capped,
         "kg_connected_components": _kg_connected_components,
         "kg_degree_stats": _kg_degree_stats,
         "kg_type_predicates": _kg_type_predicates,
@@ -1111,10 +1145,44 @@ m_slack AS (
            'HIGH' AS confidence
     FROM tr
 ),
+m_tool AS (
+    SELECT conv_id, turn_idx, 'tool_call' AS kind,
+           {rules.KIND_RANK['tool_call']} AS kind_rank, 0 AS match_idx,
+           'urn:Tool:' || regexp_replace(lower(trim(tool)), '[ _]+', '-', 'g') AS urn,
+           'Tool' AS entity_type, tool AS name,
+           'usedTool' AS pred, CAST(NULL AS VARCHAR) AS subj_urn,
+           'HIGH' AS confidence
+    FROM tr WHERE tool IS NOT NULL
+),
+m_struct AS (
+    SELECT conv_id, turn_idx, 'struct' AS kind,
+           {rules.KIND_RANK['struct']} AS kind_rank, 0 AS match_idx,
+           'urn:' || etype || ':'
+               || regexp_replace(lower(trim(sname)), '[ _]+', '-', 'g') AS urn,
+           etype AS entity_type, sname AS name,
+           'mentions' AS pred, CAST(NULL AS VARCHAR) AS subj_urn,
+           'HIGH' AS confidence
+    FROM (
+        SELECT conv_id, turn_idx,
+               nullif(regexp_extract(text, '{rules.STRUCT_NAME_RE}', 1), '') AS sname,
+               CASE WHEN regexp_matches(text, '{rules.STRUCT_API_RE}')
+                         AND nullif(regexp_extract(text, '{rules.STRUCT_KIND_RE}', 1), '') IS NOT NULL
+                    THEN regexp_extract(text, '{rules.STRUCT_KIND_RE}', 1)
+                    WHEN regexp_matches(text, '{rules.STRUCT_FIELD_RES['owner']}')
+                         AND regexp_matches(text, '{rules.STRUCT_FIELD_RES['endpoints']}')
+                    THEN 'Service'
+                    WHEN regexp_matches(text, '{rules.STRUCT_FIELD_RES['cluster']}')
+                         AND regexp_matches(text, '{rules.STRUCT_FIELD_RES['namespace']}')
+                    THEN 'Namespace'
+               END AS etype
+        FROM tr
+    ) WHERE sname IS NOT NULL AND etype IS NOT NULL
+),
 m_all AS (
     SELECT * FROM m_urn UNION ALL SELECT * FROM m_verb
     UNION ALL SELECT * FROM m_email UNION ALL SELECT * FROM m_url
     UNION ALL SELECT * FROM m_slack
+    UNION ALL SELECT * FROM m_tool UNION ALL SELECT * FROM m_struct
 ),
 -- per-turn dedupe keep first by (kind_rank, match_idx)
 mded AS MATERIALIZED (
@@ -1488,6 +1556,24 @@ e0 AS (SELECT subj AS a, obj AS b FROM p WHERE obj_is_ref
 sym AS MATERIALIZED (SELECT DISTINCT a, b FROM e0 WHERE a <> b),
 two AS (
     SELECT x.a, y.b FROM sym x JOIN sym y ON x.b = y.a WHERE x.a <> y.b
+)
+SELECT a AS urn, CAST(count(DISTINCT b) AS BIGINT) AS n_reach
+FROM (SELECT a, b FROM sym UNION ALL SELECT a, b FROM two)
+GROUP BY a
+""",
+        "kg_two_hop_reach_capped": f"""
+WITH p AS MATERIALIZED ({_pipeline_oracle_sql(path)}),
+e0 AS (SELECT subj AS a, obj AS b FROM p WHERE obj_is_ref
+       UNION ALL SELECT obj, subj FROM p WHERE obj_is_ref),
+sym AS MATERIALIZED (SELECT DISTINCT a, b FROM e0 WHERE a <> b),
+mid AS (
+    SELECT a, b FROM (
+        SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) AS rn
+        FROM sym
+    ) WHERE rn <= {_TWO_HOP_DRIVER_CAP}
+),
+two AS (
+    SELECT x.a, y.b FROM sym x JOIN mid y ON x.b = y.a WHERE x.a <> y.b
 )
 SELECT a AS urn, CAST(count(DISTINCT b) AS BIGINT) AS n_reach
 FROM (SELECT a, b FROM sym UNION ALL SELECT a, b FROM two)

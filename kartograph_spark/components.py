@@ -24,6 +24,36 @@ from pyspark.sql import functions as F
 
 MAX_ROUNDS = 25
 
+#: persisted intermediates from the graph-analytics operators below
+#: (triangle_counts / two_hop_reach_*).  The frames must outlive the
+#: function (the returned plan reads them lazily), so the operators
+#: cannot unpersist them — CALLERS OWN THE CACHE LIFETIME: call
+#: ``release_caches()`` after the terminal action when running many
+#: graph queries in one session, or blocks accumulate until session end.
+_PERSISTED: list[DataFrame] = []
+
+
+def _track(df: DataFrame) -> DataFrame:
+    """persist (MEMORY_AND_DISK — Spark's DataFrame default, spill-safe
+    on large graphs) and register for release_caches()."""
+    _PERSISTED.append(df.persist())
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every intermediate cached by the graph operators;
+    returns how many were released.  Safe across stopped sessions
+    (dead JVM handles are skipped)."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001 — session already stopped
+            pass
+    return n
+
 #: below this many pairs, transitive closure runs as a driver-side
 #: union-find (one collect) instead of the iterative distributed loop —
 #: the same size-based strategy choice AQE makes for broadcast joins.
@@ -197,8 +227,8 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .persist()
     )
+    und = _track(und)
     deg = (
         und.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
@@ -218,11 +248,13 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
         ranked.select(F.col("node").alias("v"), F.col("rank").alias("rank_v")), "v"
     )
     lower_first = F.col("rank_u") < F.col("rank_v")
-    oriented = e.select(
-        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
-        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
-        F.greatest("rank_u", "rank_v").alias("rank_b"),
-    ).persist()
+    oriented = _track(
+        e.select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.greatest("rank_u", "rank_v").alias("rank_b"),
+        )
+    )
     x, y = oriented.alias("x"), oriented.alias("y")
     wedges = x.join(
         y, (F.col("x.a") == F.col("y.a")) & (F.col("x.rank_b") < F.col("y.rank_b"))
@@ -263,10 +295,86 @@ def two_hop_reach_exact(pairs: DataFrame) -> DataFrame:
     100 TB production entry point is ``two_hop_reach_approx`` below.  The
     one-hop frame is persisted so both sides of the self-join reuse one
     computation."""
-    sym = symmetric_edges(pairs).persist()
+    sym = _track(symmetric_edges(pairs))
     two = (
         sym.alias("x")
         .join(sym.alias("y"), F.col("x.b") == F.col("y.a"))
+        .select(F.col("x.a").alias("a"), F.col("y.b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    return (
+        sym.unionAll(two)
+        .groupBy("a")
+        .agg(F.count_distinct("b").alias("n_reach"))
+        .select(F.col("a").alias("urn"), "n_reach")
+    )
+
+
+#: salt-group fan-out for the distributed hub top-k (see _capped_mid)
+_HUB_TOPK_SALTS = 64
+
+
+def _capped_mid(sym: DataFrame, hub_cap: int) -> DataFrame:
+    """Deterministic per-node neighbor cap WITHOUT a full per-key sort:
+    keep the ``hub_cap`` id-smallest neighbors of every node.
+
+    The naive Window.partitionBy(a).orderBy(b) + row_number form sorts a
+    hub's ENTIRE edge list in one task before capping — at 10^9-degree
+    production hubs the skewed single-partition sort is itself the
+    straggler the cap exists to prevent.  Tournament top-k instead:
+
+      1. degree count (map-side combinable) -> hub set (deg > cap);
+      2. non-hub edges pass through UNTOUCHED (no sort, no agg buffer);
+      3. hub edges split into ``_HUB_TOPK_SALTS`` deterministic salt
+         groups; each group reduces to its cap smallest via
+         slice(sort_array(collect_list)) — buffers are d/S values and S
+         groups sort in parallel instead of one task sorting d;
+      4. the union of per-group winners (<= S*cap rows per hub) takes one
+         exact window — sorting S*cap, never d.
+
+    The global cap-smallest set is contained in the union of per-group
+    cap-smallest sets, so the result is IDENTICAL to the single-window
+    form (pinned by pytest) — only the physical plan changes.
+    """
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    hubs = deg.filter(F.col("deg") > hub_cap).select("a")
+    nonhub = sym.join(hubs, "a", "left_anti")
+    hubrows = sym.join(hubs, "a", "left_semi")
+    grp = (
+        hubrows.groupBy(
+            "a", F.pmod(F.xxhash64("b"), F.lit(_HUB_TOPK_SALTS)).alias("_g")
+        )
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list("b")), 1, hub_cap
+            ).alias("_tb")
+        )
+    )
+    cand = grp.select("a", F.explode("_tb").alias("b"))
+    w = Window.partitionBy("a").orderBy("b")
+    capped = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= hub_cap)
+        .drop("_rn")
+    )
+    return nonhub.unionAll(capped)
+
+
+def two_hop_reach_capped_exact(
+    pairs: DataFrame, hub_cap: int = TWO_HOP_HUB_CAP
+) -> DataFrame:
+    """Hub-capped 2-hop reach with an EXACT distinct count: the
+    production cap logic (deterministic id-smallest ``hub_cap`` neighbors
+    per middle node, via the tournament top-k) with count_distinct
+    instead of HLL — deterministic and SQL-expressible, so the driver
+    oracle hash-checks the cap semantics that two_hop_reach_approx
+    applies under HLL.  Nodes routing through a capped hub report the
+    same one-sided lower bound as the approx form."""
+    sym = _track(symmetric_edges(pairs))
+    mid = _capped_mid(sym, hub_cap)
+    two = (
+        sym.alias("x")
+        .join(mid.alias("y"), F.col("x.b") == F.col("y.a"))
         .select(F.col("x.a").alias("a"), F.col("y.b").alias("b"))
         .filter(F.col("a") != F.col("b"))
     )
@@ -304,13 +412,8 @@ def two_hop_reach_approx(
     the full wedge set and the only error is HLL's (±rsd); the pytest
     pins both regimes against ``two_hop_reach_exact`` on the synth KG.
     """
-    sym = symmetric_edges(pairs).persist()
-    w = Window.partitionBy("a").orderBy("b")
-    mid = (
-        sym.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= hub_cap)
-        .drop("rn")
-    )
+    sym = _track(symmetric_edges(pairs))
+    mid = _capped_mid(sym, hub_cap)
     two = (
         sym.alias("x")
         .join(mid.alias("y"), F.col("x.b") == F.col("y.a"))

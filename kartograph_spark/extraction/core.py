@@ -187,6 +187,57 @@ def extract_mentions_block(
         d["confidence"] = "HIGH"
         parts.append(d)
 
+    # Transcript `tool` column (reference ThinkingStep toolName,
+    # app/server/db/schema.ts:129-139): a tool-bearing turn emits a
+    # Conversation --usedTool--> Tool entity (node + edge via the normal
+    # mention path, so linking/canonicalization apply to tool entities).
+    if "tool" in base.columns:
+        tl = base[base["tool"].notna()]
+        if len(tl):
+            d = pd.DataFrame(
+                {
+                    "conv_id": tl["conv_id"].to_numpy(),
+                    "turn_idx": tl["turn_idx"].to_numpy(),
+                    "surface": tl["tool"].to_numpy(),
+                }
+            )
+            d["kind"] = "tool_call"
+            d["kind_rank"] = rules.KIND_RANK["tool_call"]
+            d["match_idx"] = 0
+            d["name"] = d["surface"]
+            d["ident"] = rules.slugify(d["surface"])
+            d["entity_type"] = "Tool"
+            d["urn"] = "urn:Tool:" + d["ident"]
+            d["pred"] = "usedTool"
+            d["subj_urn"] = None
+            d["confidence"] = "HIGH"
+            parts.append(d)
+
+    # E3 — heuristic type detection over structured turn content
+    # (PROCESS.md:1044-1068): JSON blobs with a kind field or the known
+    # field combinations yield a typed entity mention.
+    st = rules.detect_struct_entities(text)
+    sm = st[st["entity_type"].notna()]
+    if len(sm):
+        d = pd.DataFrame(
+            {
+                "conv_id": base["conv_id"].to_numpy()[sm.index.to_numpy()],
+                "turn_idx": base["turn_idx"].to_numpy()[sm.index.to_numpy()],
+                "entity_type": sm["entity_type"].to_numpy(),
+                "name": sm["name"].to_numpy(),
+            }
+        )
+        d["kind"] = "struct"
+        d["kind_rank"] = rules.KIND_RANK["struct"]
+        d["match_idx"] = 0
+        d["ident"] = rules.slugify(d["name"])
+        d["urn"] = "urn:" + d["entity_type"] + ":" + d["ident"]
+        d["pred"] = rules.MENTIONS_PRED
+        d["surface"] = d["name"]
+        d["subj_urn"] = None
+        d["confidence"] = "HIGH"
+        parts.append(d)
+
     # Free-text verb patterns from the combined scan; subj_urn = nearest
     # preceding E1 anchor in the turn (or None).  HIGH tier
     # (PROCESS.md:2123-2199, 2211-2218): auto relationship.  MEDIUM tier

@@ -57,14 +57,19 @@ def _extract_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def extract_mentions(transcripts: DataFrame) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) -> mentions.
 
-    Pure map stage: project the 3 needed columns (column pruning reaches
-    the scan) and run the vectorized extractor per Arrow batch.
+    Pure map stage: project the 4 needed columns (column pruning reaches
+    the scan) and run the vectorized extractor per Arrow batch.  The
+    ``tool`` column feeds the usedTool emission (ThinkingStep toolName
+    analog); inputs without it still work (text-only extraction).
     """
-    turns = transcripts.select(
+    cols = [
         F.col("conv_id").cast("string"),
         F.col("turn_idx").cast("long"),
         F.col("text"),
-    )
+    ]
+    if "tool" in transcripts.columns:
+        cols.append(F.col("tool").cast("string"))
+    turns = transcripts.select(*cols)
     return turns.mapInPandas(_extract_iter, schema=MENTION_SCHEMA)
 
 
@@ -86,9 +91,12 @@ def extract_mentions_grouped(
         )
         return out[MENTION_COLUMNS]
 
-    turns = transcripts.select(
+    cols = [
         F.col("conv_id").cast("string"),
         F.col("turn_idx").cast("long"),
         F.col("text"),
-    )
+    ]
+    if "tool" in transcripts.columns:
+        cols.append(F.col("tool").cast("string"))
+    turns = transcripts.select(*cols)
     return turns.groupBy("conv_id").applyInPandas(fn, schema=MENTION_SCHEMA)

@@ -38,7 +38,10 @@ def _union_find(pairs: list[tuple[str, str]]) -> dict[str, str]:
 def oracle_mentions(transcripts: pd.DataFrame) -> pd.DataFrame:
     """Stable-ordered mention extraction (rows sorted, then shared core)."""
     df = transcripts.sort_values(["conv_id", "turn_idx"], kind="mergesort")
-    return extract_mentions_block(df[["conv_id", "turn_idx", "text"]])
+    cols = ["conv_id", "turn_idx", "text"]
+    if "tool" in df.columns:
+        cols.append("tool")
+    return extract_mentions_block(df[cols])
 
 
 def oracle_canonicalize(

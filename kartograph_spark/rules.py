@@ -189,6 +189,51 @@ def combined_position_re_sql() -> str:
 COMBINED_POSITION_RE = combined_position_re()
 COMBINED_POSITION_RE_SQL = combined_position_re_sql()
 
+# E3 — heuristic entity-type detection over structured turn content
+# (docs/PROCESS.md:1044-1068 detect_entity_type): tool-output JSON blobs
+# embedded in transcript turns.  Vectorized key-field regexes instead of
+# per-row JSON parsing (input_hint: no per-row Python):
+#   1. Kubernetes-style resources: "apiVersion" present + "kind": "X"
+#      -> entity type X
+#   2. field combination name+owner+endpoints -> Service
+#   3. field combination name+cluster+namespace -> Namespace
+# The entity name comes from the blob's "name" field; no "name" field ->
+# no entity (nothing to identify it by).
+STRUCT_KIND_RE = r'"kind":\s*"([A-Za-z][A-Za-z0-9_]*)"'
+STRUCT_NAME_RE = r'"name":\s*"([^"]+)"'
+STRUCT_API_RE = r'"apiVersion":\s*"'
+STRUCT_FIELD_RES = {
+    "owner": r'"owner":\s*',
+    "endpoints": r'"endpoints":\s*',
+    "cluster": r'"cluster":\s*',
+    "namespace": r'"namespace":\s*',
+}
+
+
+def detect_struct_entities(text: pd.Series) -> pd.DataFrame:
+    """E3 vectorized: per-turn (entity_type, name) from embedded JSON
+    blobs, or NaN rows where no rule fires.  One regex pass per key
+    field; rule precedence mirrors detect_entity_type
+    (PROCESS.md:1044-1068): kind field first, then field combinations.
+    """
+    name = text.str.extract(STRUCT_NAME_RE, expand=False)
+    kind = text.str.extract(STRUCT_KIND_RE, expand=False)
+    has_api = text.str.contains(STRUCT_API_RE, regex=True, na=False)
+    has = {
+        k: text.str.contains(r, regex=True, na=False)
+        for k, r in STRUCT_FIELD_RES.items()
+    }
+    etype = kind.where(has_api & kind.notna())
+    etype = etype.mask(
+        etype.isna() & name.notna() & has["owner"] & has["endpoints"], "Service"
+    )
+    etype = etype.mask(
+        etype.isna() & name.notna() & has["cluster"] & has["namespace"],
+        "Namespace",
+    )
+    return pd.DataFrame({"entity_type": etype.where(name.notna()), "name": name})
+
+
 # Validity rules (models.py:41-69)
 URN_VALID_RE = r"^urn:[A-Z][A-Za-z0-9_]*:.+$"
 TYPE_VALID_RE = r"^[A-Z][A-Za-z0-9_]*$"
@@ -220,7 +265,11 @@ KIND_RANK = {
     "connects_to": 17,
     "stores_data_in": 18,
     "hosted_in": 19,
-    "env_context": 20,  # triples.py packs kind_rank in 5 bits: max is 30
+    "env_context": 20,
+    # structured-turn operators (not part of the free-text combined scan)
+    "tool_call": 21,  # transcript `tool` column -> usedTool edge
+    "struct": 22,  # E3 heuristic type detection over JSON blobs
+    # triples.py packs kind_rank in 5 bits: max is 30
 }
 
 # --------------------------------------------------------------------------

@@ -34,7 +34,10 @@ SEED = 42
 #: (running on / runs on / depends on / connects to / stores data in /
 #: hosted in <region> / in the <env> environment) plus nested-adjacency
 #: fixtures mixing MEDIUM and HIGH phrases in one turn.
-CORPUS_TAG = "v4"
+#: v5 = round 5, adds tool-column variety (usedTool emission incl. a
+#: dictionary-linkable tool name) and E3 structured JSON-blob turns
+#: (kind-field + field-combination type detection).
+CORPUS_TAG = "v5"
 
 SERVICES = ["Vault", "Hive", "Billing-API", "Checkout"]
 
@@ -140,6 +143,13 @@ def _build_text_pool(rng: np.random.Generator, n: int = 3000) -> list[str]:
         # must not swallow the following 'uses Docker' mention
     )
     add("Deployed by hand in the staging environment, hosted in eu-west-1 region.")
+    # E3 structured tool-output blobs (kind field + field combinations,
+    # PROCESS.md:1044-1068); braces also exercise the literal trap rules
+    add('Tool output: {"apiVersion": "apps/v1", "kind": "Deployment", "name": "payment-api"}')
+    add('Result: {"name": "billing", "owner": "sre", "endpoints": ["/api/v1"]}')
+    add('Got {"name": "checkout", "cluster": "prod-east", "namespace": "shop"}')
+    add('Partial blob {"kind": "ConfigMap", "name": "settings"} has no apiVersion.')
+    add('No identity here: {"apiVersion": "v1", "kind": "Secret", "data": "x"}')
 
     # Templated filler
     tools = np.array(TOOLS)
@@ -223,8 +233,14 @@ def gen_transcripts(
 
     role = np.where(turn_idx % 2 == 0, "user", "assistant")
     text = pool[rng.integers(0, len(pool), size=n)]
+    # tool-bearing turns (ThinkingStep toolName analog): mixed-case and
+    # underscore names exercise the slug rule; 'Vault' collides with the
+    # alias dictionary's tool vocabulary (cross-source linking fixture)
+    tool_pool = np.array(["query_dgraph", "web_search", "Vault"], dtype=object)
     tool = np.where(
-        (role == "assistant") & (rng.random(n) < 0.2), "query_dgraph", None
+        (role == "assistant") & (rng.random(n) < 0.2),
+        tool_pool[rng.integers(0, len(tool_pool), size=n)],
+        None,
     )
     conv_ordinal = np.repeat(np.arange(n_conv), turns_per_conv)
     base = pd.Timestamp("2026-01-01T00:00:00Z").value // 10**9

@@ -127,3 +127,84 @@ def test_triangle_counts_dedupes_and_ignores_direction(spark):
         for r in triangle_counts(_pairs(spark, rows)).collect()
     }
     assert got == {("a", 1), ("b", 1), ("c", 1)}
+
+
+def test_capped_mid_equals_window_form(spark):
+    """The tournament top-k (_capped_mid) must emit EXACTLY the id-smallest
+    cap neighbors per node — identical to the single-window formulation —
+    on a skewed graph where the cap engages."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from kartograph_spark.components import _capped_mid, symmetric_edges
+
+    # hub 'h' with 50 neighbors, a small clique, some chains
+    rows = [("h", f"n{i:03d}") for i in range(50)]
+    rows += [("a", "b"), ("b", "c"), ("c", "d"), ("n001", "z")]
+    pairs = spark.createDataFrame(pd.DataFrame(rows, columns=["src", "dst"]))
+    sym = symmetric_edges(pairs)
+    cap = 7
+    got = {
+        tuple(r) for r in _capped_mid(sym, cap).select("a", "b").collect()
+    }
+    w = Window.partitionBy("a").orderBy("b")
+    from pyspark.sql import functions as F
+
+    exp = {
+        tuple(r)
+        for r in sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .select("a", "b")
+        .collect()
+    }
+    assert got == exp
+    # and the cap really engaged: hub h kept exactly cap of its 50
+    assert sum(1 for a, _ in got if a == "h") == cap
+
+
+def test_two_hop_capped_exact_bounds_and_converges(spark):
+    """cap >= max degree -> identical to the exact form; small cap ->
+    one-sided lower bound that actually bites on the hub graph."""
+    import pandas as pd
+
+    from kartograph_spark.components import (
+        two_hop_reach_capped_exact,
+        two_hop_reach_exact,
+    )
+
+    rows = [("h", f"n{i:02d}") for i in range(30)]
+    rows += [(f"n{i:02d}", f"m{i:02d}") for i in range(30)]
+    pairs = spark.createDataFrame(pd.DataFrame(rows, columns=["src", "dst"]))
+    exact = {
+        r["urn"]: r["n_reach"] for r in two_hop_reach_exact(pairs).collect()
+    }
+    full = {
+        r["urn"]: r["n_reach"]
+        for r in two_hop_reach_capped_exact(pairs, hub_cap=1000).collect()
+    }
+    assert full == exact
+    capped = {
+        r["urn"]: r["n_reach"]
+        for r in two_hop_reach_capped_exact(pairs, hub_cap=5).collect()
+    }
+    assert set(capped) == set(exact)
+    assert all(capped[u] <= exact[u] for u in exact)
+    # the m-leaves reach through hub h's capped list: bound must bite
+    assert any(capped[u] < exact[u] for u in exact)
+
+
+def test_release_caches(spark):
+    """Graph-operator caches are caller-released: release_caches() drops
+    every tracked block and empties the registry."""
+    import pandas as pd
+
+    from kartograph_spark import components as C
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame([("a", "b"), ("b", "c")], columns=["src", "dst"])
+    )
+    C.two_hop_reach_exact(pairs).collect()
+    assert len(C._PERSISTED) >= 1
+    released = C.release_caches()
+    assert released >= 1
+    assert C._PERSISTED == []

@@ -226,7 +226,9 @@ def test_spark_matches_pandas_core(spark, transcripts_df, transcripts_pdf):
         .reset_index(drop=True)
     )
     exp = (
-        extract_mentions_block(transcripts_pdf[["conv_id", "turn_idx", "text"]])
+        extract_mentions_block(
+            transcripts_pdf[["conv_id", "turn_idx", "text", "tool"]]
+        )
         .sort_values(["conv_id", "turn_idx", "kind_rank", "match_idx"])
         .reset_index(drop=True)
     )
@@ -412,3 +414,91 @@ def test_medium_subject_attribution_and_flag_fields():
     assert med["subj_urn"] == "urn:Application:pay"
     assert med["pred"] == "runsOn"
     assert med["confidence"] == "MEDIUM"
+
+
+# --------------------------------------------------------------------------
+# tool column (ThinkingStep toolName analog) + E3 structured detection
+# --------------------------------------------------------------------------
+
+
+def test_tool_column_emits_used_tool():
+    df = _turns("plain text", "more text")
+    df["tool"] = ["query_dgraph", None]
+    out = extract_mentions_block(df)
+    t = out[out["kind"] == "tool_call"]
+    assert len(t) == 1
+    r = t.iloc[0]
+    assert r["urn"] == "urn:Tool:query-dgraph"
+    assert r["pred"] == "usedTool"
+    assert r["entity_type"] == "Tool"
+    assert r["name"] == "query_dgraph"
+    assert r["turn_idx"] == 0
+    # no tool column at all -> still works, no tool rows
+    out2 = extract_mentions_block(_turns("plain text"))
+    assert (out2["kind"] != "tool_call").all()
+
+
+def test_tool_triple_reaches_pipeline(spark):
+    """usedTool edges appear in the final triple set."""
+    import pandas as pd
+
+    from kartograph_spark.pipeline import build_triples
+
+    tr = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["c1", "c1"],
+                "turn_idx": [0, 1],
+                "role": ["user", "assistant"],
+                "text": ["hello", "done"],
+                "tool": [None, "web_search"],
+                "ts": pd.to_datetime(["2026-01-01 00:00", "2026-01-01 00:01"]),
+            }
+        )
+    )
+    al = spark.createDataFrame(
+        [], "alias_norm string, canonical_urn string, entity_type string, canonical_name string"
+    )
+    kept, _ = build_triples(spark, tr, al)
+    rows = {(r["subj"], r["pred"], r["obj"]) for r in kept.collect()}
+    assert ("urn:Conversation:c1", "usedTool", "urn:Tool:web-search") in rows
+    assert ("urn:Tool:web-search", "dgraph.type", "Tool") in rows
+    assert ("urn:Tool:web-search", "name", "web_search") in rows
+
+
+def test_struct_kind_field_detection():
+    """E3 rule 1 (PROCESS.md:1044-1056): apiVersion + kind -> type=kind."""
+    out = extract_mentions_block(
+        _turns('{"apiVersion": "apps/v1", "kind": "Deployment", "name": "pay-api"}')
+    )
+    s = out[out["kind"] == "struct"].iloc[0]
+    assert s["urn"] == "urn:Deployment:pay-api"
+    assert s["entity_type"] == "Deployment"
+    assert s["name"] == "pay-api"
+    assert s["pred"] == "mentions"
+
+
+def test_struct_field_combination_rules():
+    """E3 rule 2/3: name+owner+endpoints -> Service;
+    name+cluster+namespace -> Namespace."""
+    out = extract_mentions_block(
+        _turns(
+            '{"name": "billing", "owner": "sre", "endpoints": []}',
+            '{"name": "checkout", "cluster": "p1", "namespace": "shop"}',
+        )
+    )
+    s = out[out["kind"] == "struct"].set_index("turn_idx")
+    assert s.loc[0, "entity_type"] == "Service"
+    assert s.loc[1, "entity_type"] == "Namespace"
+
+
+def test_struct_negative_cases():
+    out = extract_mentions_block(
+        _turns(
+            '{"kind": "ConfigMap", "name": "settings"}',      # no apiVersion
+            '{"apiVersion": "v1", "kind": "Secret"}',          # no name
+            '{"name": "solo"}',                                # no combo
+            "prose with kind words and a name but no JSON",
+        )
+    )
+    assert (out["kind"] != "struct").all()
