@@ -28,7 +28,9 @@ class PipelineConfig:
     salt_turns: int = 1024
     #: rule-set version — bump when extraction rules change so lineage
     #: invalidates (config-hash semantics)
-    rules_version: str = "2"  # v2: entity-subject attribution for verb mentions
+    #: v2: entity-subject attribution for verb mentions
+    #: v3: MEDIUM indirect tier + usedTool emission + E3 struct detection
+    rules_version: str = "3"
     extra: dict = field(default_factory=dict, hash=False, compare=False)
 
     @property

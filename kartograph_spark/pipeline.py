@@ -169,6 +169,25 @@ def build_triples(
     return val.split_broken_refs(encoded)
 
 
+#: whole-stage lineage sentinel: the global stages (canonical / triples /
+#: materialize) are all-or-nothing — canonicalization and the first-
+#: occurrence dedup are corpus-global aggregations, so there is no
+#: per-bucket unit to resume below the stage (the reference's resume has
+#: the same shape: per-chunk for extraction, whole-artifact for the
+#: restored entity store, orchestrator.py:484-536).
+STAGE_SENTINEL = -1
+
+
+def _stage_done(spark: SparkSession, root: str, stage: str, cfg) -> bool:
+    return STAGE_SENTINEL in completed_partitions(
+        spark, root, stage, cfg.config_hash
+    )
+
+
+def _mark_stage(root: str, stage: str, cfg, rows: int) -> None:
+    record_completed(root, stage, cfg.config_hash, {STAGE_SENTINEL: rows})
+
+
 def run_pipeline(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -176,46 +195,77 @@ def run_pipeline(
     out_dir: str,
     cfg: PipelineConfig | None = None,
 ) -> dict:
-    """Full pipeline; returns the metrics rollup (A7)."""
+    """Full pipeline; returns the metrics rollup (A7).
+
+    Resume covers EVERY stage (J8/S10, orchestrator.py:484-536,589-597):
+    mentions per conversation-bucket (run_mentions_stage), then one
+    lineage row per global stage — ``canonical`` (canonicalized mentions
+    + canonical map tables), ``triples`` (kept triples + broken-ref
+    report), ``materialize`` (graph/validation/report artifacts).  A
+    re-run after a mid-stage kill skips each stage whose lineage row is
+    present for this config hash and reads its stored output instead of
+    recomputing; outputs are overwrite-idempotent either way.
+    """
     cfg = cfg or PipelineConfig()
     store = TableStore(spark, out_dir)
     t0 = time.time()
 
     mentions = run_mentions_stage(spark, transcripts, store, cfg)
-    canonical, cmap = canonicalize_mentions(
-        mentions, alias_dict, cfg.confidence_threshold
-    )
 
-    raw = tr.mention_triples(canonical).unionByName(
-        tr.conversation_triples(transcripts)
-    )
-    # persist + eager materialization mirrors build_triples: the uid-
-    # predicate collect doubles as the cache fill so the validation
-    # fan-out never recomputes the dedup-shuffle chain.
-    deduped = tr.dedup_first_occurrence(raw).persist()
-    resolved = tr.apply_uid_resolution(
-        deduped, tr.collect_uid_predicates(deduped)
-    )
-    encoded = tr.encode_final(resolved)
+    if _stage_done(spark, store.root, "canonical", cfg):
+        canonical = store.read("canonical_mentions")
+        cmap = store.read("canonical_map")
+    else:
+        canonical, cmap = canonicalize_mentions(
+            mentions, alias_dict, cfg.confidence_threshold
+        )
+        store.write(canonical, "canonical_mentions")
+        store.write(cmap, "canonical_map")
+        canonical = store.read("canonical_mentions")
+        cmap = store.read("canonical_map")
+        _mark_stage(store.root, "canonical", cfg, canonical.count())
 
-    kept, broken = val.split_broken_refs(encoded)
-    kept = kept.localCheckpoint(eager=False)
-    orphans = val.find_orphans(kept)
-    rec_errors = val.record_errors(canonical)
-    errors = broken.unionByName(orphans).unionByName(rec_errors)
-    flags = val.review_flags(canonical)
+    if _stage_done(spark, store.root, "triples", cfg):
+        kept = store.read("triples")
+        broken = store.read("broken_refs")
+    else:
+        raw = tr.mention_triples(canonical).unionByName(
+            tr.conversation_triples(transcripts)
+        )
+        # persist + eager materialization mirrors build_triples: the uid-
+        # predicate collect doubles as the cache fill so the broken-ref
+        # split never recomputes the dedup-shuffle chain.
+        deduped = tr.dedup_first_occurrence(raw).persist()
+        resolved = tr.apply_uid_resolution(
+            deduped, tr.collect_uid_predicates(deduped)
+        )
+        encoded = tr.encode_final(resolved)
+        kept, broken = val.split_broken_refs(encoded)
+        store.write(kept, "triples", partition_by=["pred"])
+        store.write(broken, "broken_refs")
+        kept = store.read("triples")
+        broken = store.read("broken_refs")
+        _mark_stage(store.root, "triples", cfg, kept.count())
 
-    store.write(flags, "review_flags")
-    store.write(kept, "triples", partition_by=["pred"])
+    if not _stage_done(spark, store.root, "materialize", cfg):
+        orphans = val.find_orphans(kept)
+        rec_errors = val.record_errors(canonical)
+        errors = broken.unionByName(orphans).unionByName(rec_errors)
+        store.write(errors, "validation_errors")
+        store.write(val.validation_summary(errors), "validation_summary")
+        store.write(val.review_flags(canonical), "review_flags")
+        store.write(build_nodes(kept), "graph_nodes", partition_by=["type"])
+        store.write(build_edges(kept), "graph_edges", partition_by=["pred"])
+        manifest = infer_schema_manifest(kept)
+        write_schema_artifacts(
+            manifest, infer_type_predicates(kept), out_dir
+        )
+        _mark_stage(
+            store.root, "materialize", cfg, store.read("graph_edges").count()
+        )
+
     triples_out = store.read("triples")
-    store.write(build_nodes(triples_out), "graph_nodes", partition_by=["type"])
-    store.write(build_edges(triples_out), "graph_edges", partition_by=["pred"])
-    store.write(errors, "validation_errors")
-    store.write(val.validation_summary(errors), "validation_summary")
-
-    manifest = infer_schema_manifest(triples_out)
-    write_schema_artifacts(manifest, infer_type_predicates(triples_out), out_dir)
-
+    errors = store.read("validation_errors")
     dur = time.time() - t0
     n_triples = triples_out.count()
     metrics = {
@@ -226,8 +276,8 @@ def run_pipeline(
         "entities": val.node_urns(triples_out).count(),
         "edges": store.read("graph_edges").count(),
         "triples": n_triples,
-        "broken_refs": broken.count(),
-        "orphans": orphans.count(),
+        "broken_refs": store.read("broken_refs").count(),
+        "orphans": errors.filter(F.col("message").startswith("orphan")).count(),
         "review_flags": store.read("review_flags").count(),
         "validation_errors": errors.count(),
         "duration_secs": round(dur, 3),

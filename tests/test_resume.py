@@ -78,3 +78,75 @@ def test_config_hash_invalidation(spark, transcripts_df):
     assert completed_partitions(spark, out, "mentions", cfg_a.config_hash) == set(
         range(8)
     )
+
+
+def test_full_pipeline_resume_mid_triples(spark, transcripts_df, alias_df):
+    """Kill after the canonical stage (triples/materialize lineage rows
+    lost, outputs wiped): the re-run skips mentions AND canonical — no
+    new lineage rows, no extraction re-run — recomputes only the lost
+    stages, and converges to the identical triple set."""
+    import shutil
+    import tempfile
+
+    from kartograph_spark.pipeline import run_pipeline
+
+    cfg = PipelineConfig(n_buckets=8)
+    out = tempfile.mkdtemp(prefix="kg-full-resume-")
+    m1 = run_pipeline(spark, transcripts_df, alias_df, out, cfg)
+    baseline = (
+        spark.read.parquet(f"{out}/triples")
+        .toPandas()
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    lin1 = read_lineage(spark, out).toPandas()
+    assert {"mentions", "canonical", "triples", "materialize"} <= set(lin1["stage"])
+
+    # simulate the kill: drop the triples+materialize lineage rows and
+    # their outputs; mentions + canonical survive
+    survivors = lin1[~lin1["stage"].isin(["triples", "materialize"])]
+    for f in glob.glob(os.path.join(out, LINEAGE_DIR, "*.parquet")):
+        os.remove(f)
+    for _, r in survivors.iterrows():
+        record_completed(
+            out, r["stage"], r["config_hash"], {int(r["partition_id"]): int(r["rows"])}
+        )
+    for t in ("triples", "broken_refs", "graph_nodes", "graph_edges"):
+        shutil.rmtree(os.path.join(out, t), ignore_errors=True)
+    lin_mid = read_lineage(spark, out).toPandas()
+
+    m2 = run_pipeline(spark, transcripts_df, alias_df, out, cfg)
+    resumed = (
+        spark.read.parquet(f"{out}/triples")
+        .toPandas()
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        baseline.astype({"turn_idx": "int64"}), resumed.astype({"turn_idx": "int64"})
+    )
+    # the completed stages were NOT re-run: no lineage rows newer than
+    # the kill for mentions/canonical; triples/materialize re-recorded
+    lin2 = read_lineage(spark, out).toPandas()
+    new_rows = lin2[lin2["finished_at"] > lin_mid["finished_at"].max()]
+    assert set(new_rows["stage"]) == {"triples", "materialize"}
+    assert m2["triples"] == m1["triples"]
+    assert m2["review_flags"] == m1["review_flags"]
+
+
+def test_full_pipeline_rerun_skips_everything(spark, transcripts_df, alias_df):
+    """A clean re-run against a completed out dir recomputes no stage —
+    only the metrics rollup — and reports identical counts."""
+    import tempfile
+
+    from kartograph_spark.pipeline import run_pipeline
+
+    cfg = PipelineConfig(n_buckets=8)
+    out = tempfile.mkdtemp(prefix="kg-rerun-")
+    m1 = run_pipeline(spark, transcripts_df, alias_df, out, cfg)
+    lin1 = read_lineage(spark, out).toPandas()
+    m2 = run_pipeline(spark, transcripts_df, alias_df, out, cfg)
+    lin2 = read_lineage(spark, out).toPandas()
+    assert len(lin1) == len(lin2)  # zero new lineage rows
+    for k in ("triples", "entities", "edges", "mentions", "review_flags"):
+        assert m1[k] == m2[k], k
