@@ -132,6 +132,28 @@ def main() -> None:
     kg_secs = min(kg_times)
     per_q["kg_pipeline"] = kg_secs
 
+    # 10x pipeline row (r05): ~1.5M turns at sf0.1 — large enough that
+    # the under-split guard actually fires (30-file scan -> 128-part
+    # salted repartition) and the corpus-sized dedup shuffle runs at
+    # AQE-relevant volume.  One cold + one warm pass (the corpus is 10x;
+    # best-of-N would double a ~70s block for variance we already
+    # characterize on the small row).
+    large_corpus = _ensure_corpus(sf * 10)
+    ltr = spark.read.parquet(f"{large_corpus}/transcripts.parquet")
+    lal = spark.read.parquet(f"{large_corpus}/alias_dictionary.parquet")
+    l_turns = ltr.count()
+    spark.catalog.clearCache()
+    t0 = time.time()
+    lk, _ = build_triples(spark, ltr, lal)
+    l_triples = lk.count()
+    large_cold = round(time.time() - t0, 3)
+    spark.catalog.clearCache()
+    t0 = time.time()
+    lk, _ = build_triples(spark, ltr, lal)
+    l_triples = lk.count()
+    large_secs = round(time.time() - t0, 3)
+    per_q["kg_pipeline_large"] = large_secs
+
     total = round(sum(per_q.values()), 3)
     print(
         json.dumps(
@@ -148,6 +170,11 @@ def main() -> None:
                 "kg_triples": n_triples,
                 "kg_triples_per_sec": round(n_triples / kg_secs, 1),
                 "kg_turns_per_sec": round(n_turns / kg_secs, 1),
+                "kg_large_turns": l_turns,
+                "kg_large_triples": l_triples,
+                "kg_pipeline_large_cold_sec": large_cold,
+                "kg_large_triples_per_sec": round(l_triples / large_secs, 1),
+                "kg_large_turns_per_sec": round(l_turns / large_secs, 1),
             }
         )
     )

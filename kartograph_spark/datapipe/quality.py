@@ -139,19 +139,26 @@ def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + groupBy twin.  Outputs are bit-identical either way, so the
     switch threshold never changes results — only the physical plan.
     """
-    # NULL text must route down the HOF branch explicitly: size(NULL) is
-    # NULL, which fails BOTH length predicates and would silently drop
-    # the row — a row-count divergence vs the single-projection oracle on
-    # corpora that carry null text (the HOF branch emits one null-metrics
-    # row for it, same as the pre-split projection did).
+    # Routing predicate: CHARACTER length, not token count.  The r04
+    # form routed on size(split(text)) — which tokenizes every doc once
+    # just to decide the branch, on top of each branch's own split (the
+    # +71% qual_repetition regression in BENCH_r04).  Any routing is
+    # output-identical (both branches compute the same metrics), so route
+    # on length(text): a cheap scalar the scan evaluates without
+    # materializing the token array.  A doc of more than
+    # 2*REPETITION_EXPLODE_MIN_TOKENS chars has at most that many
+    # whitespace tokens only when tokens average < 2 chars — the explode
+    # twin is linear either way, so an occasional short-token doc routed
+    # long costs nothing; NULL text routes down the HOF branch (size(NULL)
+    # would fail both predicates and silently drop the row).
+    char_threshold = 2 * REPETITION_EXPLODE_MIN_TOKENS
     d = docs(spark, sf_dir).select(
-        "doc_id", F.split(F.col("text"), " ").alias("toks")
+        "doc_id", "text", F.split(F.col("text"), " ").alias("toks")
     )
     short = d.filter(
-        (F.size("toks") <= REPETITION_EXPLODE_MIN_TOKENS)
-        | F.col("toks").isNull()
-    )
-    long = d.filter(F.size("toks") > REPETITION_EXPLODE_MIN_TOKENS)
+        (F.length("text") <= char_threshold) | F.col("text").isNull()
+    ).drop("text")
+    long = d.filter(F.length("text") > char_threshold).drop("text")
     return _repetition_hof(short).unionByName(_repetition_exploded(long))
 
 

@@ -60,7 +60,12 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     fails = []
-    for name, fn in qs.items():
+    #: per-query verification record, dumped to $CHECK_ENTRY_JSON when
+    #: set — the committed audit trail for entries past the driver
+    #: harness's 50-entry correctness window (their verification otherwise
+    #: rests solely on this in-repo run)
+    records: dict[str, dict] = {}
+    for idx, (name, fn) in enumerate(qs.items()):
         if only and name not in only:
             continue
         t0 = time.time()
@@ -69,16 +74,24 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
             fails.append(name)
+            records[name] = {"index": idx, "status": "spark-error"}
             continue
         dur = time.time() - t0
         if name not in oracles:
             print(f"ok   {name}: rows-only, {len(sdf)} rows ({dur:.1f}s)")
+            records[name] = {
+                "index": idx,
+                "status": "rows-only",
+                "rows": len(sdf),
+                "value_hash": canonical_hash(sdf),
+            }
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
             fails.append(name)
+            records[name] = {"index": idx, "status": "oracle-error"}
             continue
         problems = []
         if len(sdf) != len(odf):
@@ -100,8 +113,31 @@ def main() -> int:
                 if diff is not None and len(diff):
                     print(diff.head(5).to_string())
             fails.append(name)
+            records[name] = {
+                "index": idx,
+                "status": "mismatch",
+                "problems": problems,
+            }
         else:
             print(f"ok   {name}: {len(sdf)} rows match ({dur:.1f}s)")
+            records[name] = {
+                "index": idx,
+                "status": "hash-match",
+                "rows": len(sdf),
+                "value_hash": canonical_hash(sdf),
+            }
+    json_out = os.environ.get("CHECK_ENTRY_JSON")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "n_queries": len(qs), "results": records},
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {json_out}")
     print(f"\n{len(qs) - len(fails)}/{len(qs)} ok")
     return 1 if fails else 0
 

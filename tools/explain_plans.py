@@ -79,6 +79,23 @@ def main() -> None:
     queries = dict(entry_mod.queries())
     queries["kg_two_hop_reach_approx (production variant)"] = approx_two_hop
 
+    def large_pipeline(spark, sf):
+        """10x bench corpus pipeline (kg_pipeline_large row in BENCH):
+        the under-split guard's salted repartition + the corpus-sized
+        dedup shuffle at AQE-relevant volume, on plan record."""
+        from kartograph_spark import synth
+        from kartograph_spark.pipeline import build_triples
+
+        d = os.path.join(REPO, "data", f"bench_corpus_{synth.CORPUS_TAG}_50000")
+        if not os.path.exists(os.path.join(d, "transcripts.parquet")):
+            raise RuntimeError("large bench corpus absent (run bench.py first)")
+        tr = spark.read.parquet(f"{d}/transcripts.parquet")
+        al = spark.read.parquet(f"{d}/alias_dictionary.parquet")
+        kept, _ = build_triples(spark, tr, al)
+        return kept
+
+    queries["kg_pipeline_large (10x corpus)"] = large_pipeline
+
     lines = []
     for name, fn in queries.items():
         try:

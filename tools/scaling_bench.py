@@ -70,12 +70,28 @@ def one_run(cores: int, corpus: str) -> None:
     # achievable throughput, and 5 draws (symmetric at both levels) lets
     # the min converge on the noisier fast side — the 2-core min is stable
     # to ~0.1% across sessions while the 8-core min spreads ~±5%.
-    warm, _ = build_triples(spark, transcripts, alias)
+    # KG_SCALING_WARM_FRAC < 1 warms on a deterministic conversation
+    # slice: the warm-up exists to pay code-path one-offs (codegen
+    # compilation, Python-worker fork, broadcast infra) — those fire on
+    # any slice, so a 10% warm run buys the same exclusion at 1/10 the
+    # untimed wall-clock when the call budget is capped.
+    warm_frac = float(_os.environ.get("KG_SCALING_WARM_FRAC", "1"))
+    warm_in = transcripts
+    if warm_frac < 1:
+        from pyspark.sql import functions as F
+
+        warm_in = transcripts.filter(
+            F.pmod(F.xxhash64("conv_id"), 1000) < int(1000 * warm_frac)
+        )
+    warm, _ = build_triples(spark, warm_in, alias)
     warm.count()
     spark.catalog.clearCache()
     secs = float("inf")
     n_triples = 0
-    for _ in range(5):
+    #: KG_SCALING_RUNS trims the timed draws when wall-clock is capped
+    #: (e.g. sandboxed CI); the default 5 is the converged protocol
+    n_runs = int(_os.environ.get("KG_SCALING_RUNS", "5"))
+    for _ in range(n_runs):
         t0 = time.time()
         kept, _ = build_triples(spark, transcripts, alias)
         n_triples = kept.count()
@@ -115,7 +131,11 @@ def render_baseline_md() -> None:
         "efficiency >= 0.8.  No real cluster exists in this sandbox, so the",
         "evidence is the same job at two parallelism levels on the same",
         "input (deterministic synthetic transcript corpus, seed=42), each",
-        "level in a fresh JVM, warm-up run excluded, best of 5 timed runs.",
+        "level in a fresh JVM, warm-up run excluded (code-path warm-up on",
+        "a deterministic conversation slice when wall-clock is capped —",
+        "KG_SCALING_WARM_FRAC), minimum across timed draws (draw count in",
+        "the scaling json's protocol field; fresh-JVM draws when the run",
+        "budget forces single-run processes).",
         "",
         "Methodology (controls for single-VM artifacts a real cluster does",
         "not have): identical shuffle partitioning at both levels (same",
@@ -130,7 +150,15 @@ def render_baseline_md() -> None:
     for s in pairs:
         small, large = s["small_cores"], s["large_cores"]
         rs, rl = s["small"], s["large"]
-        ok = "PASS" if s["scaling_efficiency"] >= 0.8 else "below criterion"
+        supplementary = "supplementary" in s.get("criterion", "")
+        if supplementary:
+            verdict = (
+                "supplementary pair — read against the VM's measured "
+                "8->32 hardware ceilings below, not 1.0"
+            )
+        else:
+            ok = "PASS" if s["scaling_efficiency"] >= 0.8 else "below criterion"
+            verdict = f"criterion >= 0.8: **{ok}**"
         lines += [
             f"## local[{small}] -> local[{large}] (N={small}, 4N={large})",
             "",
@@ -140,9 +168,11 @@ def render_baseline_md() -> None:
             f"| local[{large}] (4N) | {rl['turns']:,} | {rl['secs']} | {rl['triples']:,} | {rl['triples_per_sec']:,} | {rl['turns_per_sec']:,} |",
             "",
             f"- speedup: **{s['speedup']:.3f}x** (ideal {large // small}x)",
-            f"- scaling efficiency: **{s['scaling_efficiency']:.3f}** (criterion >= 0.8: **{ok}**)",
-            "",
+            f"- scaling efficiency: **{s['scaling_efficiency']:.3f}** ({verdict})",
         ]
+        if s.get("protocol"):
+            lines.append(f"- protocol: {s['protocol']}")
+        lines.append("")
     if calib:
         lines += [
             "## Hardware calibration (tools/calibrate_scaling.py)",
