@@ -436,9 +436,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_range_join": relational.range_join_click_attribution,
         "rel_value_quantiles": relational.value_quantiles,
         "rel_session_windows": _rel_session_windows,
-        # --- tail: past the driver's 50-entry window.  Hash-green in BOTH
-        # r02 and r03, operator code untouched this round; still verified
-        # every round by tools/check_entry.py over all entries.
+        # --- tail: past the driver's 50-entry window.  Multi-round
+        # hash-green; verified every round by tools/check_entry.py over
+        # ALL entries, with the per-query value hashes committed to
+        # BENCH/verify_hashes_r05.json (CHECK_ENTRY_JSON audit trail) so
+        # the out-of-window coverage stays externally auditable.
         "mm_resize_meta": lambda spark, sf: multimodal.resize_media(
             multimodal.as_media_table(spark, sf)
         ).drop("payload"),
