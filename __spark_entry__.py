@@ -168,6 +168,19 @@ def _kg_entity_edges_medium(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_low_conf_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOW-confidence tier (docs/PROCESS.md:2158-2163): vague plurals,
+    ambiguous references and conditional mentions are LOGGED for manual
+    review and never extracted — no entity, no edge, no review flag.
+    Completes the reference's three-tier confidence model (HIGH auto-edge
+    / MEDIUM review-flag / LOW log-only).  Oracle replays the identical
+    per-pattern regexp scans in DuckDB."""
+    from kartograph_spark.extraction.mentions import low_confidence_log
+
+    d = _synth_corpus()
+    return low_confidence_log(spark.read.parquet(f"{d}/transcripts.parquet"))
+
+
 #: committed reference-shaped JSON-LD fixture exercising every branch of
 #: the conversion contract (load_dgraph.py:272-349)
 _JSONLD_FIXTURE = os.path.join(
@@ -389,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_edges": _kg_entity_edges,
         "kg_entity_edges_xturn": _kg_entity_edges_xturn,
         "kg_entity_edges_medium": _kg_entity_edges_medium,
+        "kg_low_conf_log": _kg_low_conf_log,
         "kg_jsonld_conversion": _kg_jsonld_conversion,
         "kg_jsonld_graph_validation": _kg_jsonld_graph_validation,
         "kg_pii_scrub": _kg_pii_scrub,
@@ -1518,8 +1532,19 @@ SELECT conv_id, turn_idx,
 FROM dd WHERE rn = 1
 """
 
+    low_arms = "\nUNION ALL\n".join(
+        f"""SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+       '{kind}' AS kind,
+       generate_subscripts(regexp_extract_all(text, '{pat}', 0), 1) - 1 AS match_idx,
+       unnest(regexp_extract_all(text, '{pat}', 0)) AS surface,
+       '{reason}' AS reason
+FROM tr"""
+        for kind, pat, reason in rules.LOW_PATTERNS
+    )
+
     return {
         "kg_transcript_mentions": mentions_sql,
+        "kg_low_conf_log": f"WITH {tr_cte}\n{low_arms}",
         "kg_entity_edges": edges_sql(
             "PARTITION BY conv_id, turn_idx ORDER BY cpos"
         ),

@@ -290,3 +290,43 @@ def extract_mentions_block(
     out["match_idx"] = out["match_idx"].astype("int64")
     out["kind_rank"] = out["kind_rank"].astype("int64")
     return out[MENTION_COLUMNS].reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# LOW-confidence tier (PROCESS.md:2158-2163): log-only, never extracted
+# --------------------------------------------------------------------------
+
+LOW_COLUMNS = ["conv_id", "turn_idx", "kind", "match_idx", "surface", "reason"]
+
+
+def extract_low_confidence(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vague / ambiguous / conditional mentions -> manual-review log rows.
+
+    The reference's LOW tier creates NOTHING in the graph — no entity, no
+    edge, no review flag — it only logs the phrase for a human
+    (docs/PROCESS.md:2158-2163).  One vectorized extractall per pattern;
+    rows are (conv_id, turn_idx, kind, match_idx, surface, reason).
+    """
+    if len(pdf) == 0:
+        return pd.DataFrame({c: pd.Series(dtype="object") for c in LOW_COLUMNS})
+    base = pdf.reset_index(drop=True)
+    text = base["text"].fillna("")
+    parts: list[pd.DataFrame] = []
+    for kind, pat, reason in rules.LOW_PATTERNS:
+        m = text.str.extractall(f"({pat})")
+        if m.empty:
+            continue
+        m.columns = ["surface"]
+        d = m.reset_index()
+        d = d.rename(columns={d.columns[0]: "_row", "match": "match_idx"})
+        d["conv_id"] = base["conv_id"].to_numpy()[d["_row"].to_numpy()]
+        d["turn_idx"] = base["turn_idx"].to_numpy()[d["_row"].to_numpy()]
+        d["kind"] = kind
+        d["reason"] = reason
+        parts.append(d)
+    if not parts:
+        return pd.DataFrame({c: pd.Series(dtype="object") for c in LOW_COLUMNS})
+    out = pd.concat(parts, ignore_index=True)
+    out["turn_idx"] = out["turn_idx"].astype("int64")
+    out["match_idx"] = out["match_idx"].astype("int64")
+    return out[LOW_COLUMNS].reset_index(drop=True)

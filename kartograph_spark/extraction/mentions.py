@@ -100,3 +100,38 @@ def extract_mentions_grouped(
         cols.append(F.col("tool").cast("string"))
     turns = transcripts.select(*cols)
     return turns.groupBy("conv_id").applyInPandas(fn, schema=MENTION_SCHEMA)
+
+
+LOW_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("match_idx", T.LongType()),
+        T.StructField("surface", T.StringType()),
+        T.StructField("reason", T.StringType()),
+    ]
+)
+
+
+def low_confidence_log(transcripts: DataFrame) -> DataFrame:
+    """LOW-tier manual-review log (PROCESS.md:2158-2163): vague /
+    ambiguous / conditional mentions, logged and NOT extracted.  Pure
+    map stage over (conv_id, turn_idx, text), like extract_mentions."""
+    from kartograph_spark.extraction.core import (
+        LOW_COLUMNS,
+        extract_low_confidence,
+    )
+
+    def it(batches):
+        for pdf in batches:
+            out = extract_low_confidence(pdf)
+            if len(out):
+                yield out[LOW_COLUMNS]
+
+    turns = transcripts.select(
+        F.col("conv_id").cast("string"),
+        F.col("turn_idx").cast("long"),
+        F.col("text"),
+    )
+    return turns.mapInPandas(it, schema=LOW_LOG_SCHEMA)

@@ -312,6 +312,16 @@ def oracle_review_flags(
     ).reset_index(drop=True)
 
 
+def oracle_low_log(transcripts: pd.DataFrame) -> pd.DataFrame:
+    """Pandas twin of the LOW-tier manual-review log (shared core)."""
+    from kartograph_spark.extraction.core import extract_low_confidence
+
+    df = transcripts.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    return extract_low_confidence(
+        df[["conv_id", "turn_idx", "text"]]
+    ).reset_index(drop=True)
+
+
 def triple_prf(
     actual: pd.DataFrame, expected: pd.DataFrame
 ) -> dict[str, float]:

@@ -29,7 +29,10 @@ from kartograph_spark import triples as tr
 from kartograph_spark import validation as val
 from kartograph_spark.canonical import canonicalize_mentions
 from kartograph_spark.config import PipelineConfig
-from kartograph_spark.extraction.mentions import extract_mentions
+from kartograph_spark.extraction.mentions import (
+    extract_mentions,
+    low_confidence_log,
+)
 from kartograph_spark.graph import (
     TableStore,
     build_edges,
@@ -254,6 +257,7 @@ def run_pipeline(
         store.write(errors, "validation_errors")
         store.write(val.validation_summary(errors), "validation_summary")
         store.write(val.review_flags(canonical), "review_flags")
+        store.write(low_confidence_log(transcripts), "low_confidence_log")
         store.write(build_nodes(kept), "graph_nodes", partition_by=["type"])
         store.write(build_edges(kept), "graph_edges", partition_by=["pred"])
         manifest = infer_schema_manifest(kept)
@@ -279,6 +283,7 @@ def run_pipeline(
         "broken_refs": store.read("broken_refs").count(),
         "orphans": errors.filter(F.col("message").startswith("orphan")).count(),
         "review_flags": store.read("review_flags").count(),
+        "low_confidence_logged": store.read("low_confidence_log").count(),
         "validation_errors": errors.count(),
         "duration_secs": round(dur, 3),
         "triples_per_sec": round(n_triples / dur, 1) if dur > 0 else None,

@@ -146,6 +146,31 @@ MEDIUM_PATTERNS: list[tuple[str, str, str, str]] = [
 #: kinds whose relationship is review-flagged, never auto-edged
 MEDIUM_KINDS = frozenset(k for k, *_ in MEDIUM_PATTERNS)
 
+# LOW-confidence tier (PROCESS.md:2158-2163): "log for manual review, do
+# not auto-extract" — no entity, no edge, no review flag; just a log row
+# with the matched surface and the reason class.  Tuple: (kind, regex,
+# reason).  RE2-safe (no lookarounds) so the DuckDB oracle replays the
+# identical scans; patterns are lowercase-literal (the reference's
+# examples are mid-sentence phrases) and disjoint from the HIGH/MEDIUM
+# verb literals ("may use X" does not contain "uses X").
+LOW_PATTERNS: list[tuple[str, str, str]] = [
+    (
+        "vague_plural",
+        r"\b(?:various|multiple|several) (?:tools|services|systems|databases)\b",
+        "vague mention without a clear relationship",
+    ),
+    (
+        "ambiguous_ref",
+        r"\bthe (?:database|cluster|pipeline|repo)\b",
+        "ambiguous reference: no identifying name",
+    ),
+    (
+        "conditional_use",
+        r"\bmay use [A-Z][A-Za-z0-9_+.-]*",
+        "conditional mention: uncertain context",
+    ),
+]
+
 #: every extractable pattern family, in scan-priority order
 ALL_PATTERNS: list[tuple[str, str, str, str]] = VERB_PATTERNS + MEDIUM_PATTERNS
 

@@ -37,7 +37,11 @@ SEED = 42
 #: v5 = round 5, adds tool-column variety (usedTool emission incl. a
 #: dictionary-linkable tool name) and E3 structured JSON-blob turns
 #: (kind-field + field-combination type detection).
-CORPUS_TAG = "v5"
+#: v6 = round 5, plants LOW-confidence log-only phrases (vague plurals,
+#: ambiguous references, conditional mentions — PROCESS.md:2158-2163).
+#: v7 = round 5, LOW phrases join the templated filler so they appear at
+#: corpus frequency, not just in the handwritten pool.
+CORPUS_TAG = "v7"
 
 SERVICES = ["Vault", "Hive", "Billing-API", "Checkout"]
 
@@ -150,6 +154,11 @@ def _build_text_pool(rng: np.random.Generator, n: int = 3000) -> list[str]:
     add('Got {"name": "checkout", "cluster": "prod-east", "namespace": "shop"}')
     add('Partial blob {"kind": "ConfigMap", "name": "settings"} has no apiVersion.')
     add('No identity here: {"apiVersion": "v1", "kind": "Secret", "data": "x"}')
+    # LOW-confidence tier (log for manual review, never extracted)
+    add("We evaluated various tools last quarter; multiple services were affected.")
+    add("Check the database first, then restart the pipeline if it lags.")
+    add("It may use Redis if caching is enabled, otherwise plain files.")
+    add("Several systems talk to the cluster during failover drills.")
 
     # Templated filler
     tools = np.array(TOOLS)
@@ -186,6 +195,9 @@ def _build_text_pool(rng: np.random.Generator, n: int = 3000) -> list[str]:
         "Check <{urn}>: owned by {team}, calls {svc}, monitored via {tool} panels.",
         # round-5 MEDIUM tier (indirect mentions -> review flags)
         "The worker is running on {tool} and depends on {svc} at peak.",
+        # round-5 LOW tier (log-only): vague / ambiguous / conditional
+        "We looked at various tools; it may use {tool} if the quota allows.",
+        "Cleanup scans multiple services and compacts the database nightly.",
         "Replica set runs on {tool}, hosted in us-east-1 region.",
         "Batch loader stores data in {db} and connects to {svc} nightly.",
         "Check <{urn}>: running on {tool} in the production environment.",

@@ -502,3 +502,49 @@ def test_struct_negative_cases():
         )
     )
     assert (out["kind"] != "struct").all()
+
+
+# --------------------------------------------------------------------------
+# LOW-confidence tier (PROCESS.md:2158-2163): log-only
+# --------------------------------------------------------------------------
+
+
+def test_low_confidence_log_patterns():
+    from kartograph_spark.extraction.core import extract_low_confidence
+
+    out = extract_low_confidence(
+        _turns(
+            "We tried various tools and multiple services broke.",
+            "Check the database and the pipeline.",
+            "It may use Redis if caching is enabled.",
+        )
+    )
+    kinds = out.groupby("kind")["surface"].apply(list).to_dict()
+    assert kinds["vague_plural"] == ["various tools", "multiple services"]
+    assert kinds["ambiguous_ref"] == ["the database", "the pipeline"]
+    assert kinds["conditional_use"] == ["may use Redis"]
+    assert (out["match_idx"] >= 0).all()
+
+
+def test_low_tier_never_reaches_extraction():
+    """LOW phrases create nothing in the mention frame — no entity, no
+    edge, no flag (the log is a separate surface)."""
+    out = extract_mentions_block(
+        _turns(
+            "We tried various tools; check the database; it may use Redis if needed."
+        )
+    )
+    assert len(out) == 0
+
+
+def test_low_log_in_pipeline_output(spark, transcripts_df, transcripts_pdf):
+    from kartograph_spark.extraction.mentions import low_confidence_log
+    from kartograph_spark.oracle.oracle import oracle_low_log
+
+    got = low_confidence_log(transcripts_df).toPandas()
+    exp = oracle_low_log(transcripts_pdf)
+    key = ["conv_id", "turn_idx", "kind", "match_idx", "surface"]
+    assert set(map(tuple, got[key].itertuples(index=False))) == set(
+        map(tuple, exp[key].itertuples(index=False))
+    )
+    assert len(got) > 0  # the corpus plants LOW phrases
