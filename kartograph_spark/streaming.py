@@ -69,6 +69,43 @@ def stream_mentions(
     )
 
 
+def stream_review_flags(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+) -> StreamingQuery:
+    """Incremental MEDIUM-tier review flags (PROCESS.md:2149-2156): the
+    same extraction UDF as the batch path, filtered to the withheld
+    indirect relationships and sunk as an append-only review queue.
+
+    These flags are PRE-canonicalization (canonicalization is a
+    corpus-global batch stage); the batch pipeline's review_flags table
+    remains the canonical-URN form.  An incremental deployment streams
+    this queue for human triage latency and reconciles URNs in the next
+    batch canonicalization run.
+    """
+    from kartograph_spark.triples import conv_subject_col
+
+    m = extract_mentions(read_transcript_stream(spark, input_path))
+    flags = m.filter(F.col("confidence") == "MEDIUM").select(
+        "conv_id",
+        "turn_idx",
+        "kind",
+        F.coalesce(F.col("subj_urn"), conv_subject_col()).alias("subj"),
+        "pred",
+        F.col("urn").alias("obj"),
+        F.lit("MEDIUM").alias("confidence"),
+    )
+    return (
+        flags.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_mention_counts(
     transcripts: DataFrame,
     window: str = "1 hour",

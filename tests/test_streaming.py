@@ -178,3 +178,55 @@ def test_session_window_agrees_with_lag_formulation(spark):
         for r in user_sessions(spark, sf).collect()
     }
     assert got == exp
+
+
+def test_stream_review_flags_matches_batch(spark, tmp_path):
+    """The streaming review queue carries exactly the batch extraction's
+    MEDIUM rows (pre-canonicalization), and the checkpoint makes re-runs
+    incremental."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kartograph_spark.extraction.mentions import extract_mentions
+    from kartograph_spark.streaming import stream_review_flags
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1", "c2"],
+            "turn_idx": pd.array([0, 1, 0], dtype="int32"),
+            "role": ["user", "assistant", "user"],
+            "text": [
+                "Service <urn:Application:pay> is running on AWS today.",
+                "It uses Prometheus and depends on Kafka.",
+                "Deployed by hand in the production environment.",
+            ],
+            "tool": [None, "query_dgraph", None],
+            "ts": pd.to_datetime(["2026-01-01"] * 3).astype("datetime64[us]"),
+        }
+    ).to_parquet(f"{in_dir}/part-0.parquet", index=False)
+
+    q = stream_review_flags(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).toPandas()
+    batch = (
+        extract_mentions(spark.read.parquet(in_dir))
+        .filter(F.col("confidence") == "MEDIUM")
+        .toPandas()
+    )
+    key = ["conv_id", "turn_idx", "kind"]
+    assert set(map(tuple, got[key].itertuples(index=False))) == set(
+        map(tuple, batch[key].itertuples(index=False))
+    )
+    assert set(got["pred"]) == {"runsOn", "dependsOn", "environment"}
+    # the anchored flag carries its subject; anchorless fall back to conv
+    by_kind = got.set_index("kind")
+    assert by_kind.loc["running_on", "subj"] == "urn:Application:pay"
+    assert by_kind.loc["env_context", "subj"] == "urn:Conversation:c2"
+    # re-run: checkpoint skips processed files, no duplicate rows
+    q2 = stream_review_flags(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == len(got)
