@@ -168,6 +168,27 @@ def _kg_entity_edges_medium(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_review_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CANONICAL-form review flags: the MEDIUM-tier relationships after
+    type normalization, entity linking and connected-components rewrite
+    — what the pipeline's review_flags table actually holds (subjects
+    and objects carry canonical URNs).  Oracle reuses the full pipeline
+    CTE chain up to the canonicalized mention frame and selects the
+    withheld MEDIUM rows, so the driver hash-checks the flag queue
+    through the same linking/canonicalization the triples get."""
+    from kartograph_spark import validation as val
+    from kartograph_spark.canonical import canonicalize_mentions
+    from kartograph_spark.extraction.mentions import extract_mentions
+
+    d = _synth_corpus()
+    tr = spark.read.parquet(f"{d}/transcripts.parquet")
+    alias = spark.read.parquet(f"{d}/alias_dictionary.parquet")
+    canonical, _cmap = canonicalize_mentions(extract_mentions(tr), alias)
+    return val.review_flags(canonical).select(
+        "conv_id", "turn_idx", "kind", "subj", "pred", "obj"
+    )
+
+
 def _kg_low_conf_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOW-confidence tier (docs/PROCESS.md:2158-2163): vague plurals,
     ambiguous references and conditional mentions are LOGGED for manual
@@ -403,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_edges_xturn": _kg_entity_edges_xturn,
         "kg_entity_edges_medium": _kg_entity_edges_medium,
         "kg_low_conf_log": _kg_low_conf_log,
+        "kg_review_flags": _kg_review_flags,
         "kg_jsonld_conversion": _kg_jsonld_conversion,
         "kg_jsonld_graph_validation": _kg_jsonld_graph_validation,
         "kg_pii_scrub": _kg_pii_scrub,
@@ -1041,7 +1063,7 @@ WHERE obj_is_ref OR pred NOT IN (SELECT pred FROM uidp)
 """
 
 
-def _pipeline_oracle_sql(path: str) -> str:
+def _pipeline_oracle_sql(path: str, final_select: str | None = None) -> str:
     """The FULL KG pipeline (extract -> link -> canonicalize -> triples ->
     dedup -> resolve -> encode) as one DuckDB query over the corpus
     parquet — the independent SQL twin of kartograph_spark.pipeline.
@@ -1072,6 +1094,11 @@ def _pipeline_oracle_sql(path: str) -> str:
     esc_name = (
         "replace(replace(replace(name, '\\', '\\\\'), '\"', '\\\"'), chr(10), '\\n')"
     )
+    DEFAULT_FINAL = f"""SELECT {_sql_urn_encode("subj")} AS subj, pred,
+       CASE WHEN obj_is_ref THEN {_sql_urn_encode("obj")} ELSE obj END AS obj,
+       obj_is_ref, dtype, conv_id, turn_idx
+FROM t_ded
+WHERE obj_is_ref OR pred NOT IN (SELECT pred FROM uidp)"""
     slug = "regexp_replace(lower(trim(obj_name)), '[ _]+', '-', 'g')"
     anorm = "trim(regexp_replace(lower({x}), '[-_\\s]+', ' ', 'g'))"
 
@@ -1391,11 +1418,7 @@ t_ded AS MATERIALIZED (
 ),
 -- mixed-type resolution: uid beats scalar
 uidp AS (SELECT DISTINCT pred FROM t_ded WHERE obj_is_ref)
-SELECT {_sql_urn_encode('subj')} AS subj, pred,
-       CASE WHEN obj_is_ref THEN {_sql_urn_encode('obj')} ELSE obj END AS obj,
-       obj_is_ref, dtype, conv_id, turn_idx
-FROM t_ded
-WHERE obj_is_ref OR pred NOT IN (SELECT pred FROM uidp)
+{final_select or DEFAULT_FINAL}
 """
 
 
@@ -1557,6 +1580,13 @@ FROM tr"""
         ),
         "kg_pii_scrub": _pii_scrub_sql(path),
         "kg_pipeline_synthetic": _pipeline_oracle_sql(path),
+        "kg_review_flags": _pipeline_oracle_sql(
+            path,
+            final_select="""SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, kind,
+       coalesce(subj_urn, 'urn:Conversation:' || conv_id) AS subj,
+       pred, urn AS obj
+FROM mfinal WHERE confidence = 'MEDIUM'""",
+        ),
         # MATERIALIZED below is load-bearing: DuckDB inlines CTEs by
         # default, and these graph oracles reference the pipeline CTE
         # several times — without it the whole pipeline SQL re-evaluates

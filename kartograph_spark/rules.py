@@ -240,6 +240,13 @@ def detect_struct_entities(text: pd.Series) -> pd.DataFrame:
     blobs, or NaN rows where no rule fires.  One regex pass per key
     field; rule precedence mirrors detect_entity_type
     (PROCESS.md:1044-1068): kind field first, then field combinations.
+
+    Contract: ONE structured entity per turn — the reference's heuristic
+    runs per FILE, and a transcript turn is the analog of one tool
+    output, so the first "name"/"kind" occurrences in the turn identify
+    the blob.  A turn carrying multiple JSON blobs yields the first
+    blob's identity (both oracles replay the identical first-match
+    rule, so parity holds regardless).
     """
     name = text.str.extract(STRUCT_NAME_RE, expand=False)
     kind = text.str.extract(STRUCT_KIND_RE, expand=False)
