@@ -1208,7 +1208,11 @@ m_struct AS (
     FROM (
         SELECT conv_id, turn_idx,
                nullif(regexp_extract(text, '{rules.STRUCT_NAME_RE}', 1), '') AS sname,
-               CASE WHEN regexp_matches(text, '{rules.STRUCT_API_RE}')
+               CASE {' '.join(
+                   f"WHEN contains(coalesce(regexp_extract(text, '{rules.STRUCT_PATH_RE}', 1), ''), '{frag}') THEN '{t}'"
+                   for frag, t in rules.STRUCT_PATH_TYPES
+               )}
+                    WHEN regexp_matches(text, '{rules.STRUCT_API_RE}')
                          AND nullif(regexp_extract(text, '{rules.STRUCT_KIND_RE}', 1), '') IS NOT NULL
                     THEN regexp_extract(text, '{rules.STRUCT_KIND_RE}', 1)
                     WHEN regexp_matches(text, '{rules.STRUCT_FIELD_RES['owner']}')

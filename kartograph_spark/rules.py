@@ -217,16 +217,28 @@ COMBINED_POSITION_RE_SQL = combined_position_re_sql()
 # E3 — heuristic entity-type detection over structured turn content
 # (docs/PROCESS.md:1044-1068 detect_entity_type): tool-output JSON blobs
 # embedded in transcript turns.  Vectorized key-field regexes instead of
-# per-row JSON parsing (input_hint: no per-row Python):
-#   1. Kubernetes-style resources: "apiVersion" present + "kind": "X"
+# per-row JSON parsing (input_hint: no per-row Python).  Rule order
+# mirrors detect_entity_type exactly:
+#   1. file-path patterns on the blob's "path" field
+#      (/services/ -> Service, /namespaces/ -> Namespace, /users/ -> User)
+#   2. Kubernetes-style resources: "apiVersion" present + "kind": "X"
 #      -> entity type X
-#   2. field combination name+owner+endpoints -> Service
-#   3. field combination name+cluster+namespace -> Namespace
+#   3. field combination name+owner+endpoints -> Service
+#   4. field combination name+cluster+namespace -> Namespace
 # The entity name comes from the blob's "name" field; no "name" field ->
-# no entity (nothing to identify it by).
+# no entity (nothing to identify it by; the reference's dirname-
+# capitalize default needs a file identity transcripts don't carry).
 STRUCT_KIND_RE = r'"kind":\s*"([A-Za-z][A-Za-z0-9_]*)"'
 STRUCT_NAME_RE = r'"name":\s*"([^"]+)"'
 STRUCT_API_RE = r'"apiVersion":\s*"'
+STRUCT_PATH_RE = r'"path":\s*"([^"]*)"'
+#: path-substring -> entity type, applied in order (detect_entity_type's
+#: elif chain, PROCESS.md:1048-1054)
+STRUCT_PATH_TYPES: list[tuple[str, str]] = [
+    ("/services/", "Service"),
+    ("/namespaces/", "Namespace"),
+    ("/users/", "User"),
+]
 STRUCT_FIELD_RES = {
     "owner": r'"owner":\s*',
     "endpoints": r'"endpoints":\s*',
@@ -250,12 +262,22 @@ def detect_struct_entities(text: pd.Series) -> pd.DataFrame:
     """
     name = text.str.extract(STRUCT_NAME_RE, expand=False)
     kind = text.str.extract(STRUCT_KIND_RE, expand=False)
+    path = text.str.extract(STRUCT_PATH_RE, expand=False)
     has_api = text.str.contains(STRUCT_API_RE, regex=True, na=False)
     has = {
         k: text.str.contains(r, regex=True, na=False)
         for k, r in STRUCT_FIELD_RES.items()
     }
-    etype = kind.where(has_api & kind.notna())
+    # rule 1: path patterns (checked first, detect_entity_type order)
+    etype = pd.Series(pd.NA, index=text.index, dtype="object")
+    for frag, t in STRUCT_PATH_TYPES:
+        etype = etype.mask(
+            etype.isna() & path.notna() & path.str.contains(frag, regex=False),
+            t,
+        )
+    # rule 2: kubernetes kind
+    etype = etype.mask(etype.isna() & has_api & kind.notna(), kind)
+    # rules 3-4: field combinations
     etype = etype.mask(
         etype.isna() & name.notna() & has["owner"] & has["endpoints"], "Service"
     )

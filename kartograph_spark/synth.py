@@ -41,7 +41,9 @@ SEED = 42
 #: ambiguous references, conditional mentions — PROCESS.md:2158-2163).
 #: v7 = round 5, LOW phrases join the templated filler so they appear at
 #: corpus frequency, not just in the handwritten pool.
-CORPUS_TAG = "v7"
+#: v8 = round 5, E3 path-pattern blobs ("path": /services|namespaces|
+#: users/ -> type, checked before the kind field, PROCESS.md:1048-1054).
+CORPUS_TAG = "v8"
 
 SERVICES = ["Vault", "Hive", "Billing-API", "Checkout"]
 
@@ -154,6 +156,10 @@ def _build_text_pool(rng: np.random.Generator, n: int = 3000) -> list[str]:
     add('Got {"name": "checkout", "cluster": "prod-east", "namespace": "shop"}')
     add('Partial blob {"kind": "ConfigMap", "name": "settings"} has no apiVersion.')
     add('No identity here: {"apiVersion": "v1", "kind": "Secret", "data": "x"}')
+    # E3 path-pattern rule (checked FIRST): path type beats the kind field
+    add('Read {"path": "/data/services/pay.yml", "name": "pay-svc"} ok.')
+    add('Loaded {"path": "/data/namespaces/shop.yml", "name": "shop-ns", "apiVersion": "v1", "kind": "ConfigMap"}')
+    add('Fetched {"path": "/data/users/jdoe.yml", "name": "jdoe"} fine.')
     # LOW-confidence tier (log for manual review, never extracted)
     add("We evaluated various tools last quarter; multiple services were affected.")
     add("Check the database first, then restart the pipeline if it lags.")

@@ -548,3 +548,21 @@ def test_low_log_in_pipeline_output(spark, transcripts_df, transcripts_pdf):
         map(tuple, exp[key].itertuples(index=False))
     )
     assert len(got) > 0  # the corpus plants LOW phrases
+
+
+def test_struct_path_patterns_checked_first():
+    """E3 rule order (detect_entity_type, PROCESS.md:1044-1056): the
+    path pattern wins over the kubernetes kind field."""
+    out = extract_mentions_block(
+        _turns(
+            'Read {"path": "/data/services/pay.yml", "name": "pay-svc"}.',
+            '{"path": "/x/namespaces/s.yml", "name": "s", "apiVersion": "v1", "kind": "ConfigMap"}',
+            'Fetched {"path": "/data/users/jdoe.yml", "name": "jdoe"}.',
+            '{"path": "/other/thing.yml", "name": "x"}',  # no rule fires
+        )
+    )
+    s = out[out["kind"] == "struct"].set_index("turn_idx")
+    assert s.loc[0, "entity_type"] == "Service"
+    assert s.loc[1, "entity_type"] == "Namespace"  # path beats kind
+    assert s.loc[2, "entity_type"] == "User"
+    assert 3 not in s.index
