@@ -116,20 +116,15 @@ def _kg_transcript_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kg_entity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity->entity relationship edges (pre-canonicalization): each verb
-    -pattern mention attributed to the nearest preceding E1 URN mention in
-    the same turn (reference output contract: uid triples hang off
-    extracted entities, load_dgraph.py:299-309), Conversation fallback
-    when the turn has no anchor.  Oracle replays the identical combined
-    regex scan + window forward-fill in DuckDB."""
-    from kartograph_spark import rules
+def _tier_edges(spark: SparkSession, patterns) -> DataFrame:
+    """Shared body of the per-tier edge queries: extract, filter to the
+    tier's kinds, project (subj from anchor, Conversation fallback)."""
     from kartograph_spark.extraction.mentions import extract_mentions
 
     d = _synth_corpus()
     tr = spark.read.parquet(f"{d}/transcripts.parquet")
-    verb_kinds = [k for k, *_ in rules.VERB_PATTERNS]
-    return extract_mentions(tr).filter(F.col("kind").isin(verb_kinds)).select(
+    kinds = [k for k, *_ in patterns]
+    return extract_mentions(tr).filter(F.col("kind").isin(kinds)).select(
         "conv_id",
         "turn_idx",
         F.coalesce(
@@ -139,6 +134,18 @@ def _kg_entity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("urn").alias("obj"),
         "match_idx",
     )
+
+
+def _kg_entity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity->entity relationship edges (pre-canonicalization): each verb
+    -pattern mention attributed to the nearest preceding E1 URN mention in
+    the same turn (reference output contract: uid triples hang off
+    extracted entities, load_dgraph.py:299-309), Conversation fallback
+    when the turn has no anchor.  Oracle replays the identical combined
+    regex scan + window forward-fill in DuckDB."""
+    from kartograph_spark import rules
+
+    return _tier_edges(spark, rules.VERB_PATTERNS)
 
 
 def _kg_entity_edges_medium(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -151,21 +158,8 @@ def _kg_entity_edges_medium(spark: SparkSession, sf_dir: str) -> DataFrame:
     same combined-scan + anchor-window oracle, classification arms from
     MEDIUM_PATTERNS."""
     from kartograph_spark import rules
-    from kartograph_spark.extraction.mentions import extract_mentions
 
-    d = _synth_corpus()
-    tr = spark.read.parquet(f"{d}/transcripts.parquet")
-    med_kinds = [k for k, *_ in rules.MEDIUM_PATTERNS]
-    return extract_mentions(tr).filter(F.col("kind").isin(med_kinds)).select(
-        "conv_id",
-        "turn_idx",
-        F.coalesce(
-            "subj_urn", F.concat(F.lit("urn:Conversation:"), F.col("conv_id"))
-        ).alias("subj"),
-        "pred",
-        F.col("urn").alias("obj"),
-        "match_idx",
-    )
+    return _tier_edges(spark, rules.MEDIUM_PATTERNS)
 
 
 def _kg_review_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1508,6 +1502,10 @@ FROM d WHERE rn = 1
         # to NULL kind and drop out of the verbs CTE — exactly the
         # per-tier filter the Spark side applies with kind.isin(...)
         kind_arms, obj_arms, pred_arms, etype_arms = _arms(patterns)
+        rank_arms = " ".join(
+            f"WHEN '{k}' THEN {rules.KIND_RANK[k]}"
+            for k, *_ in patterns
+        )
         return f"""
 WITH {tr_cte},
 seq AS MATERIALIZED (
@@ -1541,6 +1539,7 @@ verbs AS (
 ),
 rows_ AS (
     SELECT conv_id, turn_idx, cpos, anchor, pred,
+           CASE kind {rank_arms} END AS kind_rank,
            'urn:' || etype || ':'
                || regexp_replace(lower(trim(obj_name)), '[ _]+', '-', 'g') AS obj,
            row_number() OVER (PARTITION BY conv_id, turn_idx, kind
@@ -1548,9 +1547,13 @@ rows_ AS (
     FROM verbs
 ),
 dd AS (
+    -- keep-first order matches the extractor: (kind_rank, match order).
+    -- cpos alone diverges when two kinds share (pred, etype) — e.g.
+    -- running_on/runs_on both emit (runsOn, Platform): the extractor
+    -- keeps the LOWER-RANK kind's row regardless of text position
     SELECT *, row_number() OVER (
         PARTITION BY conv_id, turn_idx, coalesce(anchor, ''), pred, obj
-        ORDER BY cpos) AS rn
+        ORDER BY kind_rank, cpos) AS rn
     FROM rows_
 )
 SELECT conv_id, turn_idx,

@@ -310,8 +310,15 @@ def two_hop_reach_exact(pairs: DataFrame) -> DataFrame:
     )
 
 
-#: salt-group fan-out for the distributed hub top-k (see _capped_mid)
+#: salt-group fan-out bounds for the distributed hub top-k (_capped_mid):
+#: S scales with the observed max hub degree so a salt group's
+#: collect_list buffer stays <= _HUB_GROUP_TARGET neighbor strings
+#: (~25 MB at ~100-byte URNs — aggregation buffers cannot spill
+#: mid-group, so this bound IS the memory guarantee), clamped to
+#: [64, 4096] (4096 groups bound a 10^9-degree hub's groups at ~244k)
 _HUB_TOPK_SALTS = 64
+_HUB_TOPK_MAX_SALTS = 4096
+_HUB_GROUP_TARGET = 1 << 18
 
 
 def _capped_mid(sym: DataFrame, hub_cap: int) -> DataFrame:
@@ -323,26 +330,41 @@ def _capped_mid(sym: DataFrame, hub_cap: int) -> DataFrame:
     production hubs the skewed single-partition sort is itself the
     straggler the cap exists to prevent.  Tournament top-k instead:
 
-      1. degree count (map-side combinable) -> hub set (deg > cap);
+      1. degree count (map-side combinable) -> hub set (deg > cap); no
+         hubs -> the whole cap is a no-op, return sym untouched;
       2. non-hub edges pass through UNTOUCHED (no sort, no agg buffer);
-      3. hub edges split into ``_HUB_TOPK_SALTS`` deterministic salt
-         groups; each group reduces to its cap smallest via
-         slice(sort_array(collect_list)) — buffers are d/S values and S
-         groups sort in parallel instead of one task sorting d;
-      4. the union of per-group winners (<= S*cap rows per hub) takes one
-         exact window — sorting S*cap, never d.
+      3. hub edges split into S deterministic salt groups, S =
+         clamp(ceil(max_deg / _HUB_GROUP_TARGET), 64, 4096) — each
+         group reduces to its cap smallest via
+         slice(sort_array(collect_list)) with a bounded (~25 MB)
+         non-spillable buffer, S groups in parallel instead of one task
+         sorting d rows;
+      4. the union of per-group winners (<= S*cap rows per hub) takes
+         one exact window — a SPILLABLE ExternalSorter sort of at most
+         S*cap (~41M rows at S=4096, cap=10^4; 25x under the 10^9-row
+         single-task sort it replaces, and bounded regardless of d).
 
     The global cap-smallest set is contained in the union of per-group
     cap-smallest sets, so the result is IDENTICAL to the single-window
     form (pinned by pytest) — only the physical plan changes.
     """
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
-    hubs = deg.filter(F.col("deg") > hub_cap).select("a")
+    # vocabulary-sized (hub nodes only); _track registers it for the
+    # caller-owned release_caches() like the other graph caches
+    hub_deg = _track(deg.filter(F.col("deg") > hub_cap))
+    max_deg = hub_deg.agg(F.max("deg")).collect()[0][0]
+    if max_deg is None:
+        return sym  # no node exceeds the cap — nothing to truncate
+    n_salts = max(
+        _HUB_TOPK_SALTS,
+        min(_HUB_TOPK_MAX_SALTS, -(-max_deg // _HUB_GROUP_TARGET)),
+    )
+    hubs = hub_deg.select("a")
     nonhub = sym.join(hubs, "a", "left_anti")
     hubrows = sym.join(hubs, "a", "left_semi")
     grp = (
         hubrows.groupBy(
-            "a", F.pmod(F.xxhash64("b"), F.lit(_HUB_TOPK_SALTS)).alias("_g")
+            "a", F.pmod(F.xxhash64("b"), F.lit(n_salts)).alias("_g")
         )
         .agg(
             F.slice(

@@ -71,12 +71,9 @@ def _empty() -> pd.DataFrame:
     )
 
 
-def _from_extractall(
-    base: pd.DataFrame, matches: pd.DataFrame, kind: str
-) -> pd.DataFrame:
-    """Join extractall output (MultiIndex row/match) back to (conv_id, turn_idx)."""
-    if matches.empty:
-        return _empty()
+def _join_back(base: pd.DataFrame, matches: pd.DataFrame) -> pd.DataFrame:
+    """Join extractall output (MultiIndex row/match) back to
+    (conv_id, turn_idx) positions of ``base``."""
     out = matches.reset_index()
     # extractall names the positional index level 'match'; the row level
     # keeps the original index name (None -> 'level_0').
@@ -84,6 +81,15 @@ def _from_extractall(
     out = out.rename(columns={row_col: "_row", "match": "match_idx"})
     out["conv_id"] = base["conv_id"].to_numpy()[out["_row"].to_numpy()]
     out["turn_idx"] = base["turn_idx"].to_numpy()[out["_row"].to_numpy()]
+    return out
+
+
+def _from_extractall(
+    base: pd.DataFrame, matches: pd.DataFrame, kind: str
+) -> pd.DataFrame:
+    if matches.empty:
+        return _empty()
+    out = _join_back(base, matches)
     out["kind"] = kind
     out["kind_rank"] = rules.KIND_RANK[kind]
     return out
@@ -317,10 +323,7 @@ def extract_low_confidence(pdf: pd.DataFrame) -> pd.DataFrame:
         if m.empty:
             continue
         m.columns = ["surface"]
-        d = m.reset_index()
-        d = d.rename(columns={d.columns[0]: "_row", "match": "match_idx"})
-        d["conv_id"] = base["conv_id"].to_numpy()[d["_row"].to_numpy()]
-        d["turn_idx"] = base["turn_idx"].to_numpy()[d["_row"].to_numpy()]
+        d = _join_back(base, m)
         d["kind"] = kind
         d["reason"] = reason
         parts.append(d)

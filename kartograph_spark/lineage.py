@@ -86,6 +86,37 @@ def record_completed(
     pdf.to_parquet(os.path.join(p, f"lineage-{uuid.uuid4().hex}.parquet"), index=False)
 
 
+#: sibling of the lineage parquet dir (a non-parquet file inside it
+#: would break the spark.read.parquet of the lineage table)
+MARKER_DIR = "lineage_markers"
+
+
+def write_stage_marker(root: str, stage: str, config_hash: str) -> None:
+    """Record WHICH config's output currently occupies a stage's tables.
+
+    Lineage rows are append-only per config hash, but stage outputs are
+    last-writer-wins — after a config round-trip (run A, run B, run A)
+    the old config's lineage rows still exist while the tables hold the
+    other config's data.  The marker is overwritten on every stage
+    completion; resume requires marker == this config's hash, so a
+    mismatch forces recompute instead of serving another config's
+    tables."""
+    d = os.path.join(root, MARKER_DIR)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f"current_{stage}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"stage": stage, "config_hash": config_hash}, f)
+    os.replace(tmp, os.path.join(d, f"current_{stage}.json"))
+
+
+def read_stage_marker(root: str, stage: str) -> str | None:
+    p = os.path.join(root, MARKER_DIR, f"current_{stage}.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f).get("config_hash")
+
+
 def write_metrics(root: str, metrics: dict) -> str:
     os.makedirs(root, exist_ok=True)
     p = os.path.join(root, "metrics.json")

@@ -43,8 +43,10 @@ from kartograph_spark.graph import (
 )
 from kartograph_spark.lineage import (
     completed_partitions,
+    read_stage_marker,
     record_completed,
     write_metrics,
+    write_stage_marker,
 )
 from kartograph_spark.reports import (
     ERROR_COLS,
@@ -88,8 +90,21 @@ def run_mentions_stage(
     cfg: PipelineConfig,
 ) -> DataFrame:
     """Resumable extraction stage: skip buckets already done for this
-    config hash (J8 anti-join semantics, orchestrator.py:589-597)."""
-    done = completed_partitions(spark, store.root, "mentions", cfg.config_hash)
+    config hash (J8 anti-join semantics, orchestrator.py:589-597).
+
+    Stale-table guard: when the out dir's mentions table was last
+    written by a DIFFERENT config (lineage marker mismatch), every
+    bucket re-runs and the write is a FULL overwrite — the old config
+    may have used a different bucket count, so dynamic per-bucket
+    overwrite could leave its extra partitions in the table.
+    """
+    marker = read_stage_marker(store.root, "mentions")
+    stale = marker is not None and marker != cfg.config_hash
+    done = (
+        set()
+        if stale
+        else completed_partitions(spark, store.root, "mentions", cfg.config_hash)
+    )
     pending = [b for b in range(cfg.n_buckets) if b not in done]
 
     if pending:
@@ -116,15 +131,14 @@ def run_mentions_stage(
                 for b in pending
             ],
         )
-        (
-            mentions.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket")
-            .parquet(store.path("mentions"))
-        )
+        w = mentions.write.mode("overwrite")
+        if not stale:
+            w = w.option("partitionOverwriteMode", "dynamic")
+        w.partitionBy("bucket").parquet(store.path("mentions"))
         got = obs.get
         counts = {b: int(got[f"b{b}"]) for b in pending}
         record_completed(store.root, "mentions", cfg.config_hash, counts)
+        write_stage_marker(store.root, "mentions", cfg.config_hash)
     return spark.read.parquet(store.path("mentions")).drop("bucket")
 
 
@@ -182,6 +196,12 @@ STAGE_SENTINEL = -1
 
 
 def _stage_done(spark: SparkSession, root: str, stage: str, cfg) -> bool:
+    """Done = a lineage row for this config AND the stage's tables were
+    last written by this config (marker) — the lineage rows alone would
+    serve another config's overwritten tables after a config
+    round-trip."""
+    if read_stage_marker(root, stage) != cfg.config_hash:
+        return False
     return STAGE_SENTINEL in completed_partitions(
         spark, root, stage, cfg.config_hash
     )
@@ -189,6 +209,7 @@ def _stage_done(spark: SparkSession, root: str, stage: str, cfg) -> bool:
 
 def _mark_stage(root: str, stage: str, cfg, rows: int) -> None:
     record_completed(root, stage, cfg.config_hash, {STAGE_SENTINEL: rows})
+    write_stage_marker(root, stage, cfg.config_hash)
 
 
 def run_pipeline(

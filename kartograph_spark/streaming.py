@@ -85,7 +85,7 @@ def stream_review_flags(
     this queue for human triage latency and reconciles URNs in the next
     batch canonicalization run.
     """
-    from kartograph_spark.triples import conv_subject_col
+    from kartograph_spark.triples import clean_predicate_col, conv_subject_col
 
     m = extract_mentions(read_transcript_stream(spark, input_path))
     flags = m.filter(F.col("confidence") == "MEDIUM").select(
@@ -93,7 +93,10 @@ def stream_review_flags(
         "turn_idx",
         "kind",
         F.coalesce(F.col("subj_urn"), conv_subject_col()).alias("subj"),
-        "pred",
+        # same predicate cleaning as the batch review_flags table this
+        # queue reconciles against (identity for today's MEDIUM preds,
+        # but the two surfaces must never drift)
+        clean_predicate_col(F.col("pred")).alias("pred"),
         F.col("urn").alias("obj"),
         F.lit("MEDIUM").alias("confidence"),
     )

@@ -43,7 +43,11 @@ SEED = 42
 #: corpus frequency, not just in the handwritten pool.
 #: v8 = round 5, E3 path-pattern blobs ("path": /services|namespaces|
 #: users/ -> type, checked before the kind field, PROCESS.md:1048-1054).
-CORPUS_TAG = "v8"
+#: v9 = round 5, plants the rank-vs-position dedup adversary: both
+#: runs_on and running_on phrasings of ONE object in ONE turn (the kinds
+#: share (pred, etype), so keep-first must follow kind_rank, not text
+#: position — pins the edges-oracle ordering fix).
+CORPUS_TAG = "v9"
 
 SERVICES = ["Vault", "Hive", "Billing-API", "Checkout"]
 
@@ -149,6 +153,10 @@ def _build_text_pool(rng: np.random.Generator, n: int = 3000) -> list[str]:
         # must not swallow the following 'uses Docker' mention
     )
     add("Deployed by hand in the staging environment, hosted in eu-west-1 region.")
+    # rank-vs-position dedup adversary: runs_on appears FIRST in the
+    # text but running_on has the lower kind_rank — both collapse to
+    # (runsOn, urn:Platform:aws) and the extractor keeps the lower rank
+    add("It runs on AWS mostly; by night it is running on AWS too.")
     # E3 structured tool-output blobs (kind field + field combinations,
     # PROCESS.md:1044-1068); braces also exercise the literal trap rules
     add('Tool output: {"apiVersion": "apps/v1", "kind": "Deployment", "name": "payment-api"}')

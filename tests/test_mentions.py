@@ -566,3 +566,17 @@ def test_struct_path_patterns_checked_first():
     assert s.loc[1, "entity_type"] == "Namespace"  # path beats kind
     assert s.loc[2, "entity_type"] == "User"
     assert 3 not in s.index
+
+
+def test_colliding_kinds_dedupe_by_rank_not_position():
+    """running_on and runs_on both emit (runsOn, Platform): when both
+    phrasings hit the SAME object in one turn, keep-first follows
+    kind_rank (running_on = 14 < runs_on = 15), not text position — the
+    rule the edges oracles replay with ORDER BY kind_rank, cpos."""
+    out = extract_mentions_block(
+        _turns("It runs on AWS mostly; by night it is running on AWS too.")
+    )
+    runs = out[out["pred"] == "runsOn"]
+    assert len(runs) == 1
+    assert runs.iloc[0]["kind"] == "running_on"
+    assert runs.iloc[0]["match_idx"] == 0

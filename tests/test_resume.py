@@ -150,3 +150,71 @@ def test_full_pipeline_rerun_skips_everything(spark, transcripts_df, alias_df):
     assert len(lin1) == len(lin2)  # zero new lineage rows
     for k in ("triples", "entities", "edges", "mentions", "review_flags"):
         assert m1[k] == m2[k], k
+
+
+def test_config_round_trip_recomputes(spark):
+    """run A, run B, run A again against ONE out dir: B overwrites the
+    stage tables, so A's surviving lineage rows must NOT serve B's data —
+    the stage markers force recompute and A's second output equals A's
+    first (incl. a bucket-count change, which also exercises the full-
+    overwrite path that clears B's extra bucket partitions)."""
+    import tempfile
+
+    import pandas as pd
+
+    from kartograph_spark.pipeline import run_pipeline
+
+    tr = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": [f"c{i}" for i in range(6) for _ in (0, 1)],
+                "turn_idx": pd.array([0, 1] * 6, dtype="int32"),
+                "role": ["user", "assistant"] * 6,
+                "text": [
+                    "Service <urn:Application:pay> uses Prometheus.",
+                    "It is running on AWS and calls Vault.",
+                ]
+                * 6,
+                "tool": [None, "query_dgraph"] * 6,
+                "ts": pd.to_datetime(["2026-01-01 00:00"] * 12).astype(
+                    "datetime64[us]"
+                ),
+            }
+        )
+    )
+    al = spark.createDataFrame(
+        [],
+        "alias_norm string, canonical_urn string, entity_type string,"
+        " canonical_name string",
+    )
+    out = tempfile.mkdtemp(prefix="kg-roundtrip-")
+
+    cfg_a = PipelineConfig(n_buckets=4, extra={"tag": "A"})
+    cfg_b = PipelineConfig(n_buckets=8, extra={"tag": "B"})
+    run_pipeline(spark, tr, al, out, cfg_a)
+    a1 = (
+        spark.read.parquet(f"{out}/triples")
+        .toPandas()
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    # B: different config writes the same tables (same corpus here — the
+    # point is the gating, not the content delta)
+    run_pipeline(spark, tr, al, out, cfg_b)
+    # A again: lineage rows for A still exist, but the markers say the
+    # tables belong to B -> every stage must recompute, not resume
+    m3 = run_pipeline(spark, tr, al, out, cfg_a)
+    a2 = (
+        spark.read.parquet(f"{out}/triples")
+        .toPandas()
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        a1.astype({"turn_idx": "int64"}), a2.astype({"turn_idx": "int64"})
+    )
+    assert m3["config_hash"] == cfg_a.config_hash
+    # the mentions table must contain ONLY cfg_a's 4 buckets (full
+    # overwrite cleared B's 8-bucket layout)
+    mb = spark.read.parquet(f"{out}/mentions").select("bucket").distinct()
+    assert {r["bucket"] for r in mb.collect()} <= set(range(4))

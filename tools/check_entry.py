@@ -127,6 +127,11 @@ def main() -> int:
                 "value_hash": canonical_hash(sdf),
             }
     json_out = os.environ.get("CHECK_ENTRY_JSON")
+    if json_out and only:
+        # a filtered run must never overwrite the committed full-run
+        # audit trail with partial records carrying full-run metadata
+        print(f"NOT writing {json_out}: partial run ({len(records)} queries)")
+        json_out = None
     if json_out:
         import json
 
