@@ -135,9 +135,9 @@ def main() -> None:
     # 10x pipeline row (r05): ~1.5M turns at sf0.1 — large enough that
     # the under-split guard actually fires (30-file scan -> 128-part
     # salted repartition) and the corpus-sized dedup shuffle runs at
-    # AQE-relevant volume.  One cold + one warm pass (the corpus is 10x;
-    # best-of-N would double a ~70s block for variance we already
-    # characterize on the small row).
+    # AQE-relevant volume.  One cold pass + best-of-2 warm (measured
+    # warm draws spread 21.5-31.8 s on this VM — a single draw is too
+    # noisy for round-over-round comparison).
     large_corpus = _ensure_corpus(sf * 10)
     ltr = spark.read.parquet(f"{large_corpus}/transcripts.parquet")
     lal = spark.read.parquet(f"{large_corpus}/alias_dictionary.parquet")
@@ -147,11 +147,14 @@ def main() -> None:
     lk, _ = build_triples(spark, ltr, lal)
     l_triples = lk.count()
     large_cold = round(time.time() - t0, 3)
-    spark.catalog.clearCache()
-    t0 = time.time()
-    lk, _ = build_triples(spark, ltr, lal)
-    l_triples = lk.count()
-    large_secs = round(time.time() - t0, 3)
+    large_times = []
+    for _ in range(2):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        lk, _ = build_triples(spark, ltr, lal)
+        l_triples = lk.count()
+        large_times.append(round(time.time() - t0, 3))
+    large_secs = min(large_times)
     per_q["kg_pipeline_large"] = large_secs
 
     total = round(sum(per_q.values()), 3)
